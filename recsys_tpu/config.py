@@ -1,0 +1,228 @@
+"""Frozen, JSON-round-trippable configuration for the whole framework.
+
+Capability parity with the reference's single ``ModelConfig`` dataclass
+(``src/config.py:9-61``) plus the mesh/topology fields a multi-host TPU
+build needs (reference has none — its only distribution knob is
+``distributed_strategy`` at ``src/config.py:47``).
+
+Deliberate resolutions of reference inconsistencies (SURVEY §5.6):
+
+* ``implicit_threshold`` — the reference uses ``rating >= 4`` at
+  preprocessing (``src/preprocessing.py:100``) but ``rating >= 3`` as a
+  fallback inside the trainer (``src/trainer.py:106``). Here it is ONE
+  config field, default 4.0, used everywhere.
+* ``dropout_rate`` — plumbed but never applied in the reference
+  (``src/models.py:18-29``). Here it is actually applied in the DCN deep
+  MLP and tower MLPs during training.
+* ``warmup_steps`` — dead in the reference (``src/config.py:30``);
+  implemented here as linear LR warmup into the exponential decay.
+* ``mixed_precision`` — a dead flag in the reference (``src/config.py:46``,
+  the real switch lives in the CLI ``scripts/train.py:31-36``); here it
+  selects bfloat16 compute for the towers/DCN (params stay fp32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+def _freeze(value: Any) -> Any:
+    if isinstance(value, list):
+        return tuple(_freeze(v) for v in value)
+    if isinstance(value, dict):
+        return {k: _freeze(v) for k, v in value.items()}
+    return value
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture knobs. Defaults follow the reference dataclass
+    (``src/config.py:12-27``) rather than its CLI (which disagrees —
+    SURVEY §5.6 records the mismatches)."""
+
+    embedding_dim: int = 128
+    user_tower_dims: Tuple[int, ...] = (256, 128, 64)
+    item_tower_dims: Tuple[int, ...] = (256, 128, 64)
+    cross_layers: int = 3
+    dnn_dims: Tuple[int, ...] = (256, 128)
+    dropout_rate: float = 0.2
+    l2_reg: float = 1e-4
+    # Multi-task loss weights (src/config.py:41-44)
+    retrieval_weight: float = 1.0
+    ctr_weight: float = 2.0
+    rating_weight: float = 0.2
+    # bfloat16 compute in towers/DCN (params remain fp32)
+    mixed_precision: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(self, "user_tower_dims", tuple(self.user_tower_dims))
+        object.__setattr__(self, "item_tower_dims", tuple(self.item_tower_dims))
+        object.__setattr__(self, "dnn_dims", tuple(self.dnn_dims))
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data/preprocessing knobs (reference: ``src/preprocessing.py``,
+    ``src/data_processing.py``)."""
+
+    data_dir: str = "data/raw"
+    processed_path: str = "data/processed/processed_data.npz"
+    # rating >= implicit_threshold defines the positive CTR label
+    implicit_threshold: float = 4.0
+    # temporal split fractions (src/preprocessing.py:71-78)
+    train_frac: float = 0.8
+    val_frac: float = 0.1
+    # negative sampling (src/config.py:33-40); note the reference trains
+    # with in-batch negatives only — explicit sampling is a real option here
+    negative_sampling: str = "random"  # random | hard | mixed
+    num_hard_negatives: int = 5
+    num_random_negatives: int = 10
+    # synthetic generator (reference's ratings.dat is a stripped LFS blob)
+    synthetic_num_ratings: int = 1_000_209
+    synthetic_seed: int = 1
+
+    def __post_init__(self):
+        if self.negative_sampling not in ("random", "hard", "mixed"):
+            raise ValueError(
+                f"negative_sampling must be random|hard|mixed, got {self.negative_sampling!r}"
+            )
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop knobs (reference: ``src/config.py:28-32`` +
+    optimizer wiring at ``src/trainer.py:157-163``)."""
+
+    batch_size: int = 2048
+    learning_rate: float = 1e-3
+    learning_rate_ranking: float = 1e-4
+    epochs: int = 20
+    warmup_steps: int = 0
+    # ExponentialDecay(lr, decay_steps=1000, rate=0.96, staircase) parity
+    lr_decay_steps: int = 1000
+    lr_decay_rate: float = 0.96
+    lr_staircase: bool = True
+    clipnorm: float = 1.0
+    optimizer: str = "adagrad"
+    # EarlyStopping(patience=20, restore_best) parity (src/trainer.py:166)
+    early_stop_patience: int = 20
+    shuffle_buffer: int = 50_000  # reference shuffles with this buffer; we do a full permutation per epoch
+    seed: int = 42
+    use_class_weights: bool = True  # balanced CTR class weights (src/trainer.py:139-146)
+    checkpoint_every_steps: int = 0  # 0 = per-epoch only
+    keep_checkpoints: int = 3
+    resume: bool = False
+    log_every_steps: int = 50
+    donate_state: bool = True
+    profile: bool = False  # jax.profiler trace capture around a training window
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh topology. Axes: ``data`` (batch/DP) × ``model``
+    (embedding-row & item-catalog sharding). The reference's analogue is
+    ``distributed_strategy`` (``src/config.py:47``) which only supports
+    single-host mirrored DP."""
+
+    data_axis: int = -1  # -1 = all remaining devices
+    model_axis: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+    # how embedding tables are laid out: replicated | rows
+    embedding_sharding: str = "replicated"
+    # fixed per-shard capacity for the all-to-all lookup exchange
+    lookup_capacity_factor: float = 2.0
+
+    def __post_init__(self):
+        if self.embedding_sharding not in ("replicated", "rows"):
+            raise ValueError(
+                f"embedding_sharding must be replicated|rows, got {self.embedding_sharding!r}"
+            )
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation knobs (reference: ``src/trainer.py:195-219``,
+    ``src/config.py:45``)."""
+
+    topk: Tuple[int, ...] = (5, 10, 20, 50)
+    # reference samples <=1000 val rows (src/trainer.py:200); 0 = full set
+    eval_sample: int = 0
+    eval_batch_size: int = 4096
+    # score against items the user has already interacted with? The
+    # reference does not filter seen items; keep parity by default.
+    filter_seen: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "topk", tuple(self.topk))
+
+
+@dataclass(frozen=True)
+class RecsysConfig:
+    """Top-level bundle, JSON round-trippable via :meth:`to_dict` /
+    :meth:`from_dict` (parity with ``ModelConfig.to_dict``,
+    ``src/config.py:59-61`` and the ``config.json`` artifact contract,
+    ``src/trainer.py:233-234``)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    # ---- serialization -------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent, default=list)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "RecsysConfig":
+        sections = {}
+        for f in dataclasses.fields(cls):
+            sub_cls = {
+                "model": ModelConfig,
+                "data": DataConfig,
+                "train": TrainConfig,
+                "mesh": MeshConfig,
+                "eval": EvalConfig,
+            }[f.name]
+            sub = d.get(f.name, {})
+            known = {sf.name for sf in dataclasses.fields(sub_cls)}
+            kwargs = {k: _freeze(v) for k, v in sub.items() if k in known}
+            sections[f.name] = sub_cls(**kwargs)
+        return cls(**sections)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RecsysConfig":
+        return cls.from_dict(json.loads(s))
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "RecsysConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def replace(self, **sections: Any) -> "RecsysConfig":
+        """Return a copy with whole sections or dotted overrides replaced.
+
+        ``cfg.replace(model=cfg.model, **{"train.epochs": 5})`` style —
+        dotted keys overlay individual fields (the CLI uses this)."""
+        plain = {k: v for k, v in sections.items() if "." not in k}
+        dotted = {k: v for k, v in sections.items() if "." in k}
+        out = dataclasses.replace(self, **plain) if plain else self
+        if dotted:
+            d = out.to_dict()
+            for key, value in dotted.items():
+                sec, name = key.split(".", 1)
+                if sec not in d or name not in d[sec]:
+                    raise KeyError(f"unknown config field {key!r}")
+                d[sec][name] = value
+            out = RecsysConfig.from_dict(d)
+        return out

@@ -1,0 +1,59 @@
+"""NamedSharding helpers + host-side batch placement.
+
+Thin, named layer over ``jax.sharding`` so higher layers never spell
+``PartitionSpec`` by hand. The reference has no analogue (its variables
+are fully replicated under MirroredStrategy, ``src/trainer.py:45-48``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from recsys_tpu.parallel.mesh import MeshContext
+
+
+def replicated(ctx: MeshContext) -> NamedSharding:
+    """Fully-replicated sharding (dense tower/DCN params)."""
+    return ctx.sharding()
+
+
+def batch_sharding(ctx: MeshContext, ndim: int = 1) -> NamedSharding:
+    """Leading dim split over the ``data`` axis (input batches)."""
+    return ctx.sharding(ctx.data_axis, *([None] * (ndim - 1)))
+
+
+def rows_sharding(ctx: MeshContext, ndim: int = 2) -> NamedSharding:
+    """Leading dim split over the ``model`` axis (embedding tables,
+    item catalogs)."""
+    return ctx.sharding(ctx.model_axis, *([None] * (ndim - 1)))
+
+
+def shard_batch(ctx: MeshContext, batch: Any) -> Any:
+    """Place a host-resident batch pytree onto the mesh, leading dim
+    split over ``data``. Per-host slicing for multi-process setups is
+    handled by ``jax.make_array_from_process_local_data``."""
+
+    def _place(x):
+        x = np.asarray(x)
+        sh = batch_sharding(ctx, x.ndim)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(_place, batch)
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0, fill=0):
+    """Pad ``x`` along ``axis`` to a multiple (static-shape friendly).
+    Returns (padded, original_length)."""
+    n = x.shape[axis]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - n)
+    return np.pad(x, pad, constant_values=fill), n

@@ -1,0 +1,105 @@
+"""Data-layer tests: synthetic generator, preprocessing invariants,
+batcher determinism, negative sampler semantics."""
+
+import numpy as np
+import pytest
+
+from recsys_tpu.data.negative_sampling import NegativeSampler
+from recsys_tpu.data.pipeline import Batcher
+from recsys_tpu.data.preprocessing import (
+    check_preprocessing_quality,
+    load_bundle,
+    save_bundle,
+)
+
+
+def test_synthetic_schema(tiny_raw):
+    r = tiny_raw["ratings"]
+    assert list(r.columns) == ["user_id", "movie_id", "rating", "timestamp"]
+    assert r["rating"].between(1, 5).all()
+    # per-user timestamps must be non-decreasing
+    g = r.sort_values(["user_id", "timestamp"]).groupby("user_id")["timestamp"]
+    assert (g.diff().dropna() >= 0).all()
+    # every user has >= 20 ratings (ML-1M invariant)
+    assert r.groupby("user_id").size().min() >= 20
+
+
+def test_synthetic_determinism(tiny_raw):
+    from recsys_tpu.data.movielens import synthesize_ratings
+
+    a = synthesize_ratings(np.arange(5), np.arange(10), np.array(["Drama"] * 10),
+                           n_ratings=200, seed=3)
+    b = synthesize_ratings(np.arange(5), np.arange(10), np.array(["Drama"] * 10),
+                           n_ratings=200, seed=3)
+    assert a.equals(b)
+
+
+def test_preprocessing_invariants(tiny_bundle):
+    report = check_preprocessing_quality(tiny_bundle)
+    assert report["train_rows"] > report["val_rows"]
+    n_users = int(tiny_bundle["meta/n_users"])
+    assert tiny_bundle["meta/user_mean"].shape == (n_users,)
+    # y_implicit matches threshold
+    thr = float(tiny_bundle["meta/implicit_threshold"])
+    for split in ("train", "val", "test"):
+        r = tiny_bundle[f"{split}/rating"]
+        y = tiny_bundle[f"{split}/y_implicit"]
+        np.testing.assert_array_equal(y, (r >= thr).astype(np.float32))
+    # dense ids are sequential from 0
+    all_uids = np.concatenate([tiny_bundle[f"{s}/user_id"] for s in ("train", "val", "test")])
+    assert all_uids.min() == 0 and all_uids.max() == n_users - 1
+
+
+def test_bundle_roundtrip(tiny_bundle, tmp_path):
+    p = str(tmp_path / "b.npz")
+    save_bundle(tiny_bundle, p)
+    loaded = load_bundle(p)
+    assert set(loaded) == set(tiny_bundle)
+    np.testing.assert_array_equal(loaded["train/user_id"], tiny_bundle["train/user_id"])
+
+
+def test_batcher_determinism_and_shapes(tiny_bundle):
+    b1 = Batcher(tiny_bundle, "train", batch_size=128, seed=9)
+    b2 = Batcher(tiny_bundle, "train", batch_size=128, seed=9)
+    for x, y in zip(b1.epoch(2), b2.epoch(2)):
+        np.testing.assert_array_equal(x["user_id"], y["user_id"])
+        assert x["user_id"].shape == (128,)
+        assert x["rating"].dtype == np.float32
+    # different epoch -> different order
+    a = next(iter(b1.epoch(0)))["user_id"]
+    b = next(iter(b1.epoch(1)))["user_id"]
+    assert not np.array_equal(a, b)
+
+
+def test_batcher_host_slicing(tiny_bundle):
+    """Two-host slices concatenate to the single-host global batch."""
+    g = Batcher(tiny_bundle, "train", batch_size=64, seed=1)
+    h0 = Batcher(tiny_bundle, "train", batch_size=64, seed=1,
+                 process_index=0, process_count=2)
+    h1 = Batcher(tiny_bundle, "train", batch_size=64, seed=1,
+                 process_index=1, process_count=2)
+    for full, a, b in zip(g.epoch(0), h0.epoch(0), h1.epoch(0)):
+        np.testing.assert_array_equal(
+            full["movie_id"], np.concatenate([a["movie_id"], b["movie_id"]])
+        )
+
+
+@pytest.mark.parametrize("strategy", ["random", "hard", "mixed"])
+def test_negative_sampler(tiny_bundle, strategy):
+    n_items = int(tiny_bundle["meta/n_movies"])
+    s = NegativeSampler(strategy, num_hard=3, num_random=4, seed=0).fit(
+        tiny_bundle["train/user_id"], tiny_bundle["train/movie_id"], n_items
+    )
+    users = tiny_bundle["train/user_id"][:16]
+    negs = s.sample_batch(users)
+    assert negs.shape == (16, s.n_negatives())
+    assert negs.min() >= 0 and negs.max() < n_items
+    # negatives should be unseen for their user (modulo fallback)
+    u = int(users[0])
+    seen = set(s.user_seen[u].tolist())
+    unseen_frac = np.mean([n not in seen for n in negs[0]])
+    assert unseen_frac >= 0.5
+    if strategy == "hard":
+        # hard negatives are drawn from most-popular unseen
+        pop = s.item_popularity
+        assert pop[negs[0]].min() >= np.median(pop)
