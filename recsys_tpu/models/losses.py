@@ -1,0 +1,125 @@
+"""Loss library: in-batch sampled softmax, explicit sampled softmax,
+weighted BCE, MSE, balanced class weights.
+
+Parity with ``MultiTaskModel.compute_loss`` (``src/models.py:133-148``):
+total = retrieval_weight * in_batch_softmax
+      + rating_weight    * MSE(rating)
+      + ctr_weight       * weighted_BCE(y_implicit)
+with per-sample CTR class weights ``tf.where(y==1, w1, w0)``
+(``src/models.py:139-145``) computed "balanced" the sklearn way
+(``src/trainer.py:139-146``): w_c = n / (n_classes * n_c).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def in_batch_softmax(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    item_ids: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """In-batch sampled-softmax retrieval loss.
+
+    The jittable equivalent of ``tfrs.tasks.Retrieval`` used at
+    ``src/models.py:116,137``: logits = U @ V^T over the batch, label =
+    the diagonal. With ``axis_name`` set, negatives come from the
+    **global** batch (item embeddings all-gathered over the data axis —
+    cross-batch negatives, the per-replica/global choice of SURVEY §7.3).
+    ``item_ids`` enables accidental-hit masking (duplicate items in the
+    batch scored as negatives get -inf, except the true column).
+    """
+    b = user_emb.shape[0]
+    if axis_name is None:
+        candidates, cand_ids, diag = item_emb, item_ids, jnp.arange(b)
+    else:
+        candidates = lax.all_gather(item_emb, axis_name, axis=0, tiled=True)
+        cand_ids = (
+            lax.all_gather(item_ids, axis_name, axis=0, tiled=True)
+            if item_ids is not None else None
+        )
+        diag = jnp.arange(b) + lax.axis_index(axis_name) * b
+    logits = jnp.dot(user_emb, candidates.T, preferred_element_type=jnp.float32)
+    labels = jax.nn.one_hot(diag, logits.shape[1], dtype=jnp.float32)
+    if cand_ids is not None and item_ids is not None:
+        dup = item_ids[:, None] == cand_ids[None, :]
+        accidental = dup & (labels == 0.0)
+        logits = jnp.where(accidental, -1e9, logits)
+    ce = -jnp.sum(labels * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+    if mask is not None:
+        return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(ce)
+
+
+def sampled_softmax_explicit(
+    user_emb: jnp.ndarray,
+    pos_item_emb: jnp.ndarray,
+    neg_item_embs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Explicit-negatives retrieval loss: softmax over [pos | K negs]
+    per row. The trained counterpart of the reference's never-invoked
+    ``NegativeSampler`` path (``src/data_processing.py:282-337``)."""
+    pos = jnp.sum(user_emb * pos_item_emb, axis=-1, keepdims=True)
+    neg = jnp.einsum("bd,bkd->bk", user_emb, neg_item_embs)
+    logits = jnp.concatenate([pos, neg], axis=-1)
+    return jnp.mean(-jax.nn.log_softmax(logits, axis=-1)[:, 0])
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    sq = jnp.square(pred - target)
+    if mask is not None:
+        return jnp.sum(sq * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(sq)
+
+
+def weighted_bce_logits(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    pos_weight: float = 1.0,
+    neg_weight: float = 1.0,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-sample class-weighted sigmoid cross-entropy (numerically
+    stable on logits — the reference applies BCE on post-sigmoid
+    probabilities, ``src/models.py:120,143``)."""
+    per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    w = jnp.where(labels >= 0.5, pos_weight, neg_weight)
+    if mask is not None:
+        w = w * mask
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-6)
+
+
+def balanced_class_weights(y: jnp.ndarray) -> Tuple[float, float]:
+    """sklearn ``compute_class_weight('balanced')`` parity
+    (``src/trainer.py:140-144``): w_c = n / (2 * n_c). Host-side numpy
+    is fine — runs once per training job."""
+    import numpy as np
+
+    y = np.asarray(y)
+    n = len(y)
+    n_pos = max(float((y >= 0.5).sum()), 1.0)
+    n_neg = max(float(n - n_pos), 1.0)
+    return n / (2.0 * n_pos), n / (2.0 * n_neg)
+
+
+def auc(scores: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """ROC-AUC via the rank-sum (Mann-Whitney) statistic — jittable,
+    O(n log n). Required by BASELINE.json; absent from the reference."""
+    order = jnp.argsort(scores)
+    ranks = jnp.empty_like(scores).at[order].set(
+        jnp.arange(1, scores.shape[0] + 1, dtype=scores.dtype)
+    )
+    pos = labels >= 0.5
+    n_pos = jnp.sum(pos)
+    n_neg = scores.shape[0] - n_pos
+    rank_sum = jnp.sum(jnp.where(pos, ranks, 0.0))
+    a = (rank_sum - n_pos * (n_pos + 1) / 2.0) / jnp.maximum(n_pos * n_neg, 1.0)
+    return jnp.where((n_pos == 0) | (n_neg == 0), 0.5, a)

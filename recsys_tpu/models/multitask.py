@@ -1,0 +1,131 @@
+"""Multi-task model: two-tower retrieval + DCN ranking heads.
+
+Parity with ``MultiTaskModel`` (``src/models.py:106-159``):
+
+* owns the two-tower encoder + a DCN over concat(user_emb, item_emb),
+* ``Dense(1)`` rating head and ``Dense(1)`` CTR head (sigmoid applied
+  at the loss/serving edge — logits internally),
+* ``compute_loss`` = retrieval_weight * in-batch softmax
+  + rating_weight * MSE + ctr_weight * class-weighted BCE
+  (``src/models.py:133-148``), plus the L2 kernel penalty the reference
+  attaches to Dense kernels (``src/models.py:26-29``).
+
+Everything is a pure function of (params, batch, rng) -> scalars, so the
+trainer can ``jax.value_and_grad`` + ``pjit`` it directly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from recsys_tpu.config import ModelConfig
+from recsys_tpu.models import layers as L
+from recsys_tpu.models import losses
+from recsys_tpu.models.dcn import DeepCrossNetwork
+from recsys_tpu.models.towers import TwoTower
+
+
+class ForwardOut(NamedTuple):
+    user_embedding: jnp.ndarray
+    item_embedding: jnp.ndarray
+    rating_pred: jnp.ndarray
+    ctr_logit: jnp.ndarray
+
+
+class MultiTaskModel:
+    @staticmethod
+    def init(key, cfg: ModelConfig, n_users: int, n_items: int) -> Dict:
+        k_tt, k_dcn, k_rh, k_ch = jax.random.split(key, 4)
+        dcn_in = 2 * cfg.embedding_dim
+        dcn_out = DeepCrossNetwork.output_dim(cfg, dcn_in)
+        return {
+            "towers": TwoTower.init(k_tt, cfg, n_users, n_items),
+            "dcn": DeepCrossNetwork.init(k_dcn, cfg, dcn_in),
+            "rating_head": L.init_dense(k_rh, dcn_out, 1),
+            "ctr_head": L.init_dense(k_ch, dcn_out, 1),
+        }
+
+    @staticmethod
+    def apply(
+        params: Dict,
+        cfg: ModelConfig,
+        user_ids: jnp.ndarray,
+        item_ids: jnp.ndarray,
+        train: bool = False,
+        key: Optional[jax.Array] = None,
+    ) -> ForwardOut:
+        k_tt = k_dcn = None
+        if key is not None:
+            k_tt, k_dcn = jax.random.split(key)
+        u, v = TwoTower.apply(
+            params["towers"], cfg, user_ids, item_ids, train=train, key=k_tt
+        )
+        x = jnp.concatenate([u, v], axis=-1)
+        h = DeepCrossNetwork.apply(params["dcn"], x, cfg, train=train, key=k_dcn)
+        rating = L.dense(params["rating_head"], h)[..., 0]
+        ctr_logit = L.dense(params["ctr_head"], h)[..., 0]
+        return ForwardOut(u, v, rating, ctr_logit)
+
+    @staticmethod
+    def loss(
+        params: Dict,
+        cfg: ModelConfig,
+        batch: Dict[str, jnp.ndarray],
+        key: Optional[jax.Array] = None,
+        train: bool = True,
+        class_weights=(1.0, 1.0),
+        data_axis: Optional[str] = None,
+        global_negatives: bool = False,
+        neg_item_ids: Optional[jnp.ndarray] = None,
+    ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Weighted multi-task loss + metric dict.
+
+        ``data_axis`` + ``global_negatives`` turns on cross-batch
+        retrieval negatives (all-gathered over DP replicas);
+        ``neg_item_ids [B, K]`` adds the explicit-negatives loss path.
+        """
+        out = MultiTaskModel.apply(
+            params, cfg, batch["user_id"], batch["movie_id"], train=train, key=key
+        )
+        mask = batch.get("mask")
+        retr = losses.in_batch_softmax(
+            out.user_embedding,
+            out.item_embedding,
+            item_ids=batch["movie_id"],
+            axis_name=data_axis if global_negatives else None,
+            mask=mask,
+        )
+        if neg_item_ids is not None:
+            neg_emb = TwoTower.item_embed(
+                params["towers"], neg_item_ids, cfg, train=train
+            )
+            retr = retr + losses.sampled_softmax_explicit(
+                out.user_embedding, out.item_embedding, neg_emb
+            )
+        m = losses.mse(out.rating_pred, batch["rating"], mask=mask)
+        w_pos, w_neg = class_weights
+        bce = losses.weighted_bce_logits(
+            out.ctr_logit, batch["y_implicit"], w_pos, w_neg, mask=mask
+        )
+        reg = L.l2_penalty(
+            {"dcn_deep": params["dcn"]["deep"],
+             "towers": {k: params["towers"][k] for k in ("user_tower", "item_tower")}},
+            cfg.l2_reg,
+        )
+        total = (
+            cfg.retrieval_weight * retr
+            + cfg.rating_weight * m
+            + cfg.ctr_weight * bce
+            + reg
+        )
+        metrics = {
+            "loss": total,
+            "retrieval_loss": retr,
+            "rating_mse": m,
+            "ctr_bce": bce,
+            "l2": reg,
+        }
+        return total, metrics

@@ -1,0 +1,107 @@
+"""Two-tower encoder: dense-int embedding lookup + per-tower MLPs.
+
+Capability parity with ``MultiTowerModel`` (``src/models.py:59-102``):
+
+* per tower: id -> embedding row -> MLP(tower_dims, relu) -> linear
+  projection back to ``embedding_dim`` (``src/models.py:70-77``),
+* **single-tower invocation** — serving/eval call user-only or
+  item-only (``src/models.py:79-91``; consumed at
+  ``app/recommendation_service.py:69`` and ``src/trainer.py:203,225``)
+  — here as separate ``user_embed`` / ``item_embed`` pure functions,
+* no string lookup in the forward path: the reference's
+  ``StringLookup -> Embedding`` pair collapses to a dense-int
+  ``jnp.take`` (the id remap happened once, offline, in preprocessing).
+
+The out-of-vocab row of the reference (lookup index 0 = OOV,
+``Embedding(vocab+1, ...)``) maps to reserving row index ``n`` for
+unknown ids: lookups clip to ``[0, n]`` where row ``n`` is the OOV row.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from recsys_tpu.config import ModelConfig
+from recsys_tpu.models import layers as L
+
+
+class TwoTower:
+    """Namespace of pure functions (init / user_embed / item_embed /
+    apply). Params are a nested dict pytree."""
+
+    @staticmethod
+    def init(key, cfg: ModelConfig, n_users: int, n_items: int) -> Dict:
+        k_ut, k_it, k_um, k_im = jax.random.split(key, 4)
+        d = cfg.embedding_dim
+        # +1 OOV row, parity with Embedding(vocab_size + 1, dim)
+        scale = d ** -0.5
+        return {
+            "user_table": jax.random.normal(k_ut, (n_users + 1, d)) * scale,
+            "item_table": jax.random.normal(k_it, (n_items + 1, d)) * scale,
+            "user_tower": L.init_mlp(k_um, [d, *cfg.user_tower_dims, d]),
+            "item_tower": L.init_mlp(k_im, [d, *cfg.item_tower_dims, d]),
+        }
+
+    @staticmethod
+    def _tower(
+        table: jnp.ndarray,
+        tower_params: Dict,
+        ids: jnp.ndarray,
+        cfg: ModelConfig,
+        train: bool,
+        key: Optional[jax.Array],
+    ) -> jnp.ndarray:
+        n_oov = table.shape[0] - 1
+        rows = jnp.take(table, jnp.clip(ids, 0, n_oov), axis=0)
+        dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        out = L.mlp(
+            tower_params,
+            rows,
+            activation=jax.nn.relu,
+            final_activation=None,  # linear head (src/models.py:72,76)
+            dropout_rate=cfg.dropout_rate,
+            train=train,
+            key=key,
+            compute_dtype=dtype,
+        )
+        return out.astype(jnp.float32)
+
+    @staticmethod
+    def user_embed(params, user_ids, cfg, train=False, key=None) -> jnp.ndarray:
+        return TwoTower._tower(
+            params["user_table"], params["user_tower"], user_ids, cfg, train, key
+        )
+
+    @staticmethod
+    def item_embed(params, item_ids, cfg, train=False, key=None) -> jnp.ndarray:
+        return TwoTower._tower(
+            params["item_table"], params["item_tower"], item_ids, cfg, train, key
+        )
+
+    @staticmethod
+    def apply(
+        params,
+        cfg: ModelConfig,
+        user_ids: Optional[jnp.ndarray] = None,
+        item_ids: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        """Partial-input contract of ``MultiTowerModel.call``
+        (``src/models.py:79-91``): returns (user_emb | None,
+        item_emb | None) for whichever ids were given."""
+        ku = ki = None
+        if key is not None:
+            ku, ki = jax.random.split(key)
+        u = (
+            TwoTower.user_embed(params, user_ids, cfg, train, ku)
+            if user_ids is not None else None
+        )
+        v = (
+            TwoTower.item_embed(params, item_ids, cfg, train, ki)
+            if item_ids is not None else None
+        )
+        return u, v

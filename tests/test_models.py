@@ -1,0 +1,193 @@
+"""Model-layer tests: golden numbers for DCN cross and losses,
+partial-input contract, forward shapes/determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recsys_tpu.config import ModelConfig
+from recsys_tpu.models import layers as L
+from recsys_tpu.models import losses
+from recsys_tpu.models.dcn import DeepCrossNetwork
+from recsys_tpu.models.multitask import MultiTaskModel
+from recsys_tpu.models.towers import TwoTower
+
+CFG = ModelConfig(
+    embedding_dim=16,
+    user_tower_dims=(32, 16),
+    item_tower_dims=(32, 16),
+    cross_layers=2,
+    dnn_dims=(32, 8),
+    dropout_rate=0.0,
+    mixed_precision=False,
+)
+
+
+def test_dense_golden():
+    p = {"w": jnp.array([[1.0, 2.0], [3.0, 4.0]]), "b": jnp.array([0.5, -0.5])}
+    y = L.dense(p, jnp.array([[1.0, 1.0]]))
+    np.testing.assert_allclose(np.asarray(y), [[4.5, 5.5]])
+
+
+def test_dcn_cross_golden():
+    """Hand-computed rank-1 cross: x1 = x0*(x0.w) + b + x0."""
+    cfg = ModelConfig(cross_layers=1, dnn_dims=(), mixed_precision=False)
+    x0 = jnp.array([[1.0, 2.0]])
+    params = {
+        "cross": {"layer_0": {"w": jnp.array([0.5, -1.0]), "b": jnp.array([0.1, 0.2])}},
+        "deep": {},
+    }
+    out = DeepCrossNetwork.apply(params, x0, cfg)
+    # x0.w = 0.5 - 2.0 = -1.5 ; x1 = [1,2]*(-1.5) + [0.1,0.2] + [1,2]
+    np.testing.assert_allclose(np.asarray(out), [[-0.4, -0.8]], atol=1e-6)
+
+
+def test_dcn_output_dim_and_deep():
+    key = jax.random.PRNGKey(0)
+    params = DeepCrossNetwork.init(key, CFG, 32)
+    x = jax.random.normal(key, (4, 32))
+    out = DeepCrossNetwork.apply(params, x, CFG)
+    assert out.shape == (4, DeepCrossNetwork.output_dim(CFG, 32)) == (4, 40)
+    # deep branch output is post-relu -> non-negative
+    assert np.asarray(out)[:, 32:].min() >= 0.0
+
+
+def test_in_batch_softmax_golden():
+    u = jnp.eye(3)
+    v = jnp.eye(3) * 2.0
+    got = losses.in_batch_softmax(u, v)
+    logits = np.eye(3) * 2.0
+    p = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    expect = -np.log(np.diag(p)).mean()
+    np.testing.assert_allclose(float(got), expect, rtol=1e-6)
+
+
+def test_in_batch_softmax_accidental_hits():
+    """Duplicate item in batch must not be punished as a negative."""
+    v_row = jnp.array([[1.0, 0.0]])
+    u = jnp.concatenate([v_row, v_row])  # two users, same item
+    v = jnp.concatenate([v_row, v_row])
+    ids = jnp.array([7, 7])
+    with_mask = float(losses.in_batch_softmax(u, v, item_ids=ids))
+    without = float(losses.in_batch_softmax(u, v))
+    assert with_mask < without  # masking removes the duplicate-negative penalty
+    # with masking, each row is effectively a 1-way softmax -> loss ~ 0
+    assert with_mask < 1e-3
+
+
+def test_weighted_bce_golden():
+    logits = jnp.array([0.0, 0.0])
+    labels = jnp.array([1.0, 0.0])
+    # unweighted: -log(0.5) each
+    got = losses.weighted_bce_logits(logits, labels, 1.0, 1.0)
+    np.testing.assert_allclose(float(got), np.log(2.0), rtol=1e-6)
+    # pos_weight 3: weighted mean = (3*log2 + log2)/4 = log2
+    got_w = losses.weighted_bce_logits(logits, labels, 3.0, 1.0)
+    np.testing.assert_allclose(float(got_w), np.log(2.0), rtol=1e-6)
+    # check weighting actually changes an asymmetric case
+    labels2 = jnp.array([1.0, 1.0])
+    a = float(losses.weighted_bce_logits(jnp.array([2.0, -2.0]), labels2, 1.0, 1.0))
+    b = float(losses.weighted_bce_logits(jnp.array([2.0, -2.0]), labels2, 5.0, 1.0))
+    np.testing.assert_allclose(a, b, rtol=1e-6)  # all-pos: weights cancel in mean
+
+
+def test_balanced_class_weights_vs_sklearn():
+    y = np.array([1.0, 1.0, 1.0, 0.0])
+    w_pos, w_neg = losses.balanced_class_weights(y)
+    from sklearn.utils.class_weight import compute_class_weight
+
+    ref = compute_class_weight("balanced", classes=np.array([0.0, 1.0]), y=y)
+    np.testing.assert_allclose([w_neg, w_pos], ref)
+
+
+def test_auc_vs_sklearn():
+    rng = np.random.default_rng(0)
+    scores = rng.normal(size=500).astype(np.float32)
+    labels = (rng.random(500) < jax.nn.sigmoid(scores)).astype(np.float32)
+    from sklearn.metrics import roc_auc_score
+
+    got = float(losses.auc(jnp.array(scores), jnp.array(labels)))
+    ref = roc_auc_score(labels, scores)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_two_tower_partial_input():
+    key = jax.random.PRNGKey(1)
+    params = TwoTower.init(key, CFG, n_users=10, n_items=20)
+    u, v = TwoTower.apply(params, CFG, user_ids=jnp.array([0, 1]))
+    assert u is not None and v is None and u.shape == (2, 16)
+    u2, v2 = TwoTower.apply(params, CFG, item_ids=jnp.array([3]))
+    assert u2 is None and v2.shape == (1, 16)
+    # OOV ids clip to the OOV row
+    oov = TwoTower.item_embed(params, jnp.array([999]), CFG)
+    oov_row = TwoTower.item_embed(params, jnp.array([20]), CFG)
+    np.testing.assert_array_equal(np.asarray(oov), np.asarray(oov_row))
+
+
+def test_multitask_loss_runs_and_grads():
+    key = jax.random.PRNGKey(2)
+    params = MultiTaskModel.init(key, CFG, n_users=10, n_items=20)
+    batch = {
+        "user_id": jnp.array([0, 1, 2, 3]),
+        "movie_id": jnp.array([5, 6, 7, 8]),
+        "rating": jnp.array([4.0, 3.0, 5.0, 1.0]),
+        "y_implicit": jnp.array([1.0, 0.0, 1.0, 0.0]),
+    }
+    (total, metrics), grads = jax.value_and_grad(
+        MultiTaskModel.loss, has_aux=True
+    )(params, CFG, batch, key=key, class_weights=(1.2, 0.8))
+    assert np.isfinite(float(total))
+    assert set(metrics) == {"loss", "retrieval_loss", "rating_mse", "ctr_bce", "l2"}
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # embedding rows not in the batch get zero grad (gather transpose)
+    ut_grad = np.asarray(grads["towers"]["user_table"])
+    assert np.abs(ut_grad[9]).sum() == 0.0
+    assert np.abs(ut_grad[0]).sum() > 0.0
+
+
+def test_multitask_explicit_negatives_path():
+    key = jax.random.PRNGKey(3)
+    params = MultiTaskModel.init(key, CFG, n_users=10, n_items=20)
+    batch = {
+        "user_id": jnp.array([0, 1]),
+        "movie_id": jnp.array([5, 6]),
+        "rating": jnp.array([4.0, 3.0]),
+        "y_implicit": jnp.array([1.0, 0.0]),
+    }
+    negs = jnp.array([[1, 2, 3], [4, 5, 6]])
+    total, m = MultiTaskModel.loss(params, CFG, batch, neg_item_ids=negs)
+    total0, _ = MultiTaskModel.loss(params, CFG, batch)
+    assert float(m["retrieval_loss"]) > float(total0 * 0)  # runs
+    assert float(total) != float(total0)
+
+
+def test_dropout_active_only_in_train():
+    cfg = ModelConfig(
+        embedding_dim=16, user_tower_dims=(32,), item_tower_dims=(32,),
+        dropout_rate=0.5, mixed_precision=False,
+    )
+    key = jax.random.PRNGKey(4)
+    params = TwoTower.init(key, cfg, 10, 10)
+    ids = jnp.arange(8)
+    a = TwoTower.user_embed(params, ids, cfg, train=False)
+    b = TwoTower.user_embed(params, ids, cfg, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # eval deterministic
+    c = TwoTower.user_embed(params, ids, cfg, train=True, key=key)
+    assert not np.allclose(np.asarray(a), np.asarray(c))  # train perturbs
+
+
+def test_mixed_precision_close_to_fp32():
+    cfg_bf = ModelConfig(embedding_dim=32, mixed_precision=True, dropout_rate=0.0)
+    cfg_fp = ModelConfig(embedding_dim=32, mixed_precision=False, dropout_rate=0.0)
+    key = jax.random.PRNGKey(5)
+    params = MultiTaskModel.init(key, cfg_fp, 50, 50)
+    batch_ids = (jnp.arange(8), jnp.arange(8) + 10)
+    out_bf = MultiTaskModel.apply(params, cfg_bf, *batch_ids)
+    out_fp = MultiTaskModel.apply(params, cfg_fp, *batch_ids)
+    assert out_bf.user_embedding.dtype == jnp.float32  # outputs upcast
+    np.testing.assert_allclose(
+        np.asarray(out_bf.rating_pred), np.asarray(out_fp.rating_pred),
+        rtol=0.1, atol=0.15,
+    )
