@@ -112,6 +112,11 @@ class TrainConfig:
     shuffle_buffer: int = 50_000  # reference shuffles with this buffer; we do a full permutation per epoch
     seed: int = 42
     use_class_weights: bool = True  # balanced CTR class weights (src/trainer.py:139-146)
+    # logQ sampling-bias correction for in-batch softmax (Yi et al. 2019;
+    # TFRS candidate_sampling_probability analogue). The reference's plain
+    # tfrs.tasks.Retrieval() omits it; it materially lifts top-k recall
+    # against popularity-skewed ground truth.
+    logq_correction: bool = True
     checkpoint_every_steps: int = 0  # 0 = per-epoch only
     keep_checkpoints: int = 3
     resume: bool = False

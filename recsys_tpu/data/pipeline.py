@@ -70,12 +70,15 @@ class Batcher:
         for step in range(self.steps_per_epoch):
             idx = order[step * self.batch_size : (step + 1) * self.batch_size]
             mask = None
-            if len(idx) < self.batch_size:  # padded tail (eval only)
+            if not self.drop_remainder:
+                # always emit a mask so every batch has one pytree
+                # structure (single jit compilation)
                 pad = self.batch_size - len(idx)
                 mask = np.concatenate(
                     [np.ones(len(idx), np.float32), np.zeros(pad, np.float32)]
                 )
-                idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+                if pad:
+                    idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
             sl = slice(lo_off, lo_off + local)
             batch = {c: self.data[c][idx][sl] for c in self.columns}
             if mask is not None:

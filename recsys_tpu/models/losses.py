@@ -25,6 +25,7 @@ def in_batch_softmax(
     item_ids: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
     mask: Optional[jnp.ndarray] = None,
+    log_q: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """In-batch sampled-softmax retrieval loss.
 
@@ -35,18 +36,33 @@ def in_batch_softmax(
     cross-batch negatives, the per-replica/global choice of SURVEY §7.3).
     ``item_ids`` enables accidental-hit masking (duplicate items in the
     batch scored as negatives get -inf, except the true column).
+
+    ``log_q`` ([B], the log sampling probability of each in-batch
+    candidate, i.e. its empirical train frequency) enables the logQ
+    sampling-bias correction of sampled softmax (Yi et al. 2019;
+    also what TFRS does when given ``candidate_sampling_probability``):
+    corrected logits = logits - log_q, so the model learns the true
+    conditional P(item|user) instead of the popularity-debiased ratio
+    P(item|user)/P(item). Without it, top-k against a popularity-skewed
+    ground truth is systematically handicapped.
     """
     b = user_emb.shape[0]
     if axis_name is None:
-        candidates, cand_ids, diag = item_emb, item_ids, jnp.arange(b)
+        candidates, cand_ids, cand_logq, diag = item_emb, item_ids, log_q, jnp.arange(b)
     else:
         candidates = lax.all_gather(item_emb, axis_name, axis=0, tiled=True)
         cand_ids = (
             lax.all_gather(item_ids, axis_name, axis=0, tiled=True)
             if item_ids is not None else None
         )
+        cand_logq = (
+            lax.all_gather(log_q, axis_name, axis=0, tiled=True)
+            if log_q is not None else None
+        )
         diag = jnp.arange(b) + lax.axis_index(axis_name) * b
     logits = jnp.dot(user_emb, candidates.T, preferred_element_type=jnp.float32)
+    if cand_logq is not None:
+        logits = logits - cand_logq[None, :]
     labels = jax.nn.one_hot(diag, logits.shape[1], dtype=jnp.float32)
     if cand_ids is not None and item_ids is not None:
         dup = item_ids[:, None] == cand_ids[None, :]

@@ -37,12 +37,14 @@ class ForwardOut(NamedTuple):
 
 class MultiTaskModel:
     @staticmethod
-    def init(key, cfg: ModelConfig, n_users: int, n_items: int) -> Dict:
+    def init(
+        key, cfg: ModelConfig, n_users: int, n_items: int, rows_multiple: int = 1
+    ) -> Dict:
         k_tt, k_dcn, k_rh, k_ch = jax.random.split(key, 4)
         dcn_in = 2 * cfg.embedding_dim
         dcn_out = DeepCrossNetwork.output_dim(cfg, dcn_in)
         return {
-            "towers": TwoTower.init(k_tt, cfg, n_users, n_items),
+            "towers": TwoTower.init(k_tt, cfg, n_users, n_items, rows_multiple),
             "dcn": DeepCrossNetwork.init(k_dcn, cfg, dcn_in),
             "rating_head": L.init_dense(k_rh, dcn_out, 1),
             "ctr_head": L.init_dense(k_ch, dcn_out, 1),
@@ -97,6 +99,7 @@ class MultiTaskModel:
             item_ids=batch["movie_id"],
             axis_name=data_axis if global_negatives else None,
             mask=mask,
+            log_q=batch.get("log_q"),
         )
         if neg_item_ids is not None:
             neg_emb = TwoTower.item_embed(

@@ -33,14 +33,23 @@ class TwoTower:
     apply). Params are a nested dict pytree."""
 
     @staticmethod
-    def init(key, cfg: ModelConfig, n_users: int, n_items: int) -> Dict:
+    def init(
+        key, cfg: ModelConfig, n_users: int, n_items: int, rows_multiple: int = 1
+    ) -> Dict:
+        """``rows_multiple`` pads table row counts so they divide evenly
+        across a row-sharded ``model`` axis; padding rows sit above the
+        OOV row and are unreachable (lookups clip to the OOV row)."""
         k_ut, k_it, k_um, k_im = jax.random.split(key, 4)
         d = cfg.embedding_dim
-        # +1 OOV row, parity with Embedding(vocab_size + 1, dim)
+
+        def rows(n):
+            # +1 OOV row, parity with Embedding(vocab_size + 1, dim)
+            return -(-(n + 1) // rows_multiple) * rows_multiple
+
         scale = d ** -0.5
         return {
-            "user_table": jax.random.normal(k_ut, (n_users + 1, d)) * scale,
-            "item_table": jax.random.normal(k_it, (n_items + 1, d)) * scale,
+            "user_table": jax.random.normal(k_ut, (rows(n_users), d)) * scale,
+            "item_table": jax.random.normal(k_it, (rows(n_items), d)) * scale,
             "user_tower": L.init_mlp(k_um, [d, *cfg.user_tower_dims, d]),
             "item_tower": L.init_mlp(k_im, [d, *cfg.item_tower_dims, d]),
         }

@@ -1,0 +1,90 @@
+"""Offline evaluator: full-metric retrieval + ranking eval on device.
+
+Upgrades the reference's evaluator (``src/trainer.py:195-219``: 1000
+sampled val rows, recall@k only, host-side ``np.dot``/``argpartition``)
+to the full split with the complete metric suite (recall/precision/
+ndcg/map/mrr/coverage/diversity + CTR AUC + rating RMSE), scored by the
+jitted on-device top-k. ``eval_sample`` is the compat knob for the
+reference's sampling behavior (seeded, like ``src/trainer.py:200``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recsys_tpu.config import EvalConfig, ModelConfig
+from recsys_tpu.models.multitask import MultiTaskModel
+from recsys_tpu.models.towers import TwoTower
+from recsys_tpu.models import losses
+from recsys_tpu.retrieval.metrics import RankingMetrics
+from recsys_tpu.retrieval.scorer import materialize_item_embeddings, topk_scores
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _user_embs(params, cfg: ModelConfig, ids):
+    return TwoTower.user_embed(params, ids, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _heads(params, cfg: ModelConfig, uid, mid):
+    out = MultiTaskModel.apply(params, cfg, uid, mid)
+    return out.rating_pred, jax.nn.sigmoid(out.ctr_logit)
+
+
+def evaluate(
+    params: Dict,
+    cfg: ModelConfig,
+    bundle: Dict[str, np.ndarray],
+    split: str = "val",
+    eval_cfg: EvalConfig = EvalConfig(),
+    seed: int = 42,
+) -> Dict[str, float]:
+    """Full metric report for one split."""
+    uid = bundle[f"{split}/user_id"]
+    mid = bundle[f"{split}/movie_id"]
+    rating = bundle[f"{split}/rating"]
+    y = bundle[f"{split}/y_implicit"]
+    n_items = int(bundle["meta/n_movies"])
+
+    if eval_cfg.eval_sample and len(uid) > eval_cfg.eval_sample:
+        idx = np.random.default_rng(seed).choice(
+            len(uid), eval_cfg.eval_sample, replace=False
+        )
+        uid, mid, rating, y = uid[idx], mid[idx], rating[idx], y[idx]
+
+    item_embs = materialize_item_embeddings(params["towers"], cfg, n_items)
+    max_k = max(eval_cfg.topk)
+
+    bs = eval_cfg.eval_batch_size
+    n = len(uid)
+    preds_list, rat_list, ctr_list = [], [], []
+    for lo in range(0, n, bs):
+        hi = min(lo + bs, n)
+        # pad to full batch for a single compiled shape
+        pad = bs - (hi - lo)
+        u_ids = np.concatenate([uid[lo:hi], np.zeros(pad, uid.dtype)])
+        m_ids = np.concatenate([mid[lo:hi], np.zeros(pad, mid.dtype)])
+        u_emb = _user_embs(params["towers"], cfg, jnp.asarray(u_ids))
+        _, top_ids = topk_scores(u_emb, item_embs, max_k, normalize=True)
+        r_pred, c_pred = _heads(params, cfg, jnp.asarray(u_ids), jnp.asarray(m_ids))
+        preds_list.append(np.asarray(top_ids)[: hi - lo])
+        rat_list.append(np.asarray(r_pred)[: hi - lo])
+        ctr_list.append(np.asarray(c_pred)[: hi - lo])
+
+    preds = np.concatenate(preds_list)
+    report = RankingMetrics.full_report(
+        preds, mid, topk=eval_cfg.topk, catalog_size=n_items
+    )
+    r_pred = np.concatenate(rat_list)
+    c_pred = np.concatenate(ctr_list)
+    report["rating_rmse"] = float(np.sqrt(np.mean((r_pred - rating) ** 2)))
+    if 0 < y.sum() < len(y):
+        report["ctr_auc"] = float(
+            losses.auc(jnp.asarray(c_pred), jnp.asarray(y))
+        )
+    return report

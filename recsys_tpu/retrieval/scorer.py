@@ -1,0 +1,157 @@
+"""On-device scoring + top-k: the FAISS replacement (SURVEY §2.2).
+
+The reference builds a host-side ``faiss.IndexFlatIP`` over L2-normalized
+item embeddings (``src/trainer.py:236-248``) and searches it per request
+(``app/recommendation_service.py:72``). Here the "index" is just the
+materialized item-embedding matrix living on device (optionally sharded
+over the ``model`` axis); search is a jitted normalized matmul +
+``lax.top_k``, with a cross-shard merge when sharded.
+
+Normalization contract parity (SURVEY §3.4): ``/recommend`` scores are
+cosine (both sides L2-normalized — matching ``faiss.normalize_L2`` +
+IndexFlatIP of the reference), while ``score()`` exposes the raw dot
+product (the reference's un-normalized ``tf.linalg.matvec`` at
+``app/recommendation_service.py:83-92``). Both are explicit options
+here rather than an asymmetry by accident.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from recsys_tpu.config import ModelConfig
+from recsys_tpu.models.towers import TwoTower
+from recsys_tpu.parallel import collectives as coll
+from recsys_tpu.parallel.mesh import MeshContext
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "batch"))
+def _item_embs_jit(params, cfg: ModelConfig, ids, batch: int):
+    def step(carry, chunk):
+        return carry, TwoTower.item_embed(params, chunk, cfg)
+
+    chunks = ids.reshape(-1, batch)
+    _, out = jax.lax.scan(step, None, chunks)
+    return out.reshape(-1, out.shape[-1])
+
+
+def materialize_item_embeddings(
+    tower_params, cfg: ModelConfig, n_items: int, batch: int = 1024
+) -> jnp.ndarray:
+    """All item embeddings [n_items, d] via the item tower, padded to a
+    full last batch then trimmed (static shapes; the reference loops
+    512-row Python batches host-side, ``src/trainer.py:221-226``)."""
+    padded = -(-n_items // batch) * batch
+    ids = jnp.arange(padded, dtype=jnp.int32).clip(0, n_items - 1)
+    return _item_embs_jit(tower_params, cfg, ids, batch)[:n_items]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "normalize"))
+def topk_scores(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    k: int,
+    normalize: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense scoring + top-k on one device. [Q,d]x[N,d] -> ([Q,k], [Q,k])."""
+    if normalize:
+        user_emb = l2_normalize(user_emb)
+        item_emb = l2_normalize(item_emb)
+    scores = jnp.dot(user_emb, item_emb.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(scores, k)
+
+
+def make_sharded_topk(ctx: MeshContext, k: int, normalize: bool = True):
+    """Sharded scorer: items row-sharded over ``model``, queries
+    replicated along it (sharded over ``data``); per-shard top-k then
+    cross-shard merge (``collectives.merge_topk``)."""
+
+    def body(user_emb, item_shard):
+        if normalize:
+            u = l2_normalize(user_emb)
+            v = l2_normalize(item_shard)
+        else:
+            u, v = user_emb, item_shard
+        scores = jnp.dot(u, v.T, preferred_element_type=jnp.float32)
+        kk = min(k, item_shard.shape[0])
+        s, i = jax.lax.top_k(scores, kk)
+        gids = i + coll.axis_index(ctx.model_axis) * item_shard.shape[0]
+        return coll.merge_topk(s, gids, k, axis=ctx.model_axis)
+
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=ctx.mesh,
+            in_specs=(P(ctx.data_axis, None), P(ctx.model_axis, None)),
+            out_specs=(P(ctx.data_axis, None), P(ctx.data_axis, None)),
+            check_vma=False,
+        )
+    )
+
+
+class RetrievalIndex:
+    """Materialized item-embedding "index" + id map. Replaces
+    ``faiss.idx`` + ``item_map.json`` (``src/trainer.py:243-245``) with
+    one npz artifact; at serve time it lives on device."""
+
+    def __init__(
+        self,
+        item_embeddings: np.ndarray,
+        item_raw_ids: np.ndarray,
+        normalize: bool = True,
+    ):
+        self.item_embeddings = jnp.asarray(item_embeddings)
+        self.item_raw_ids = np.asarray(item_raw_ids)
+        self.normalize = normalize
+
+    @classmethod
+    def build(
+        cls,
+        tower_params,
+        cfg: ModelConfig,
+        n_items: int,
+        item_raw_ids: np.ndarray,
+        normalize: bool = True,
+    ) -> "RetrievalIndex":
+        embs = materialize_item_embeddings(tower_params, cfg, n_items)
+        return cls(np.asarray(embs), item_raw_ids, normalize)
+
+    def search(self, user_emb: jnp.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (scores [Q,k], dense item ids [Q,k])."""
+        s, i = topk_scores(user_emb, self.item_embeddings, k, self.normalize)
+        return np.asarray(s), np.asarray(i)
+
+    def raw_dot_scores(self, user_emb: jnp.ndarray, item_ids: np.ndarray) -> np.ndarray:
+        """Un-normalized dot for the /score contract
+        (``app/recommendation_service.py:83-92``)."""
+        sel = jnp.take(self.item_embeddings, jnp.asarray(item_ids), axis=0)
+        return np.asarray(jnp.einsum("qd,nd->qn", user_emb, sel))
+
+    # ---- artifact io ----------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(
+            path,
+            item_embeddings=np.asarray(self.item_embeddings, np.float32),
+            item_raw_ids=self.item_raw_ids,
+            normalize=np.array(self.normalize),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "RetrievalIndex":
+        with np.load(path) as z:
+            return cls(
+                z["item_embeddings"], z["item_raw_ids"], bool(z["normalize"])
+            )

@@ -25,14 +25,15 @@ def tiny_raw():
     from recsys_tpu.data.movielens import synthesize_ratings
 
     rng = np.random.default_rng(0)
-    n_users, n_movies = 60, 40
+    # sparse like ML-1M: each user touches ~10% of the catalog
+    n_users, n_movies = 100, 400
     user_ids = np.arange(1, n_users + 1)
     movie_ids = np.arange(1, n_movies + 1) * 2  # non-contiguous raw ids
     genres = np.array(
-        ["Comedy|Drama", "Action", "Drama", "Sci-Fi|Thriller"] * 10
+        ["Comedy|Drama", "Action", "Drama", "Sci-Fi|Thriller"] * (n_movies // 4)
     )
     ratings = synthesize_ratings(
-        user_ids, movie_ids, genres, n_ratings=3000, seed=7
+        user_ids, movie_ids, genres, n_ratings=4000, seed=7
     )
     movies = pd.DataFrame(
         {
@@ -45,7 +46,7 @@ def tiny_raw():
         {
             "user_id": user_ids,
             "gender": ["M", "F"] * (n_users // 2),
-            "age": [1, 18, 25, 35, 45, 50] * (n_users // 6),
+            "age": [1, 18, 25, 35, 45] * (n_users // 5),
             "occupation": rng.integers(0, 20, n_users),
             "zip": ["00000"] * n_users,
         }
