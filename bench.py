@@ -1,0 +1,132 @@
+"""Benchmark: training throughput (examples/s/chip) on MovieLens-1M scale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Baseline: the reference publishes exactly one training-speed number —
+~5 minutes for 5 epochs of the default CLI config on CPU
+(``QUICK_START.md:53``; 800k train rows => ~13,300 examples/s). That is
+the only wall-clock training figure it ships (BASELINE.md), so
+``vs_baseline`` = our examples/s/chip / 13,300.
+
+Run: python bench.py [--steps N] [--batch B] [--dim D] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_EXAMPLES_PER_S = 13_300.0
+BENCH_BUNDLE = "data/processed/bench_bundle.npz"
+
+
+def get_bundle(num_ratings: int) -> dict:
+    from recsys_tpu.data import preprocessing as prep
+
+    if os.path.exists(BENCH_BUNDLE):
+        b = prep.load_bundle(BENCH_BUNDLE)
+        if len(b["train/user_id"]) >= 0.7 * num_ratings:
+            return b
+    raw_dir = (
+        "data/raw" if os.path.exists("data/raw/movies.dat")
+        else "/root/reference/data/raw"
+    )
+    bundle = prep.run(
+        raw_dir, BENCH_BUNDLE, synthetic_ratings=num_ratings, synthetic_seed=1
+    )
+    return bundle
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--ratings", type=int, default=1_000_209)
+    ap.add_argument("--quick", action="store_true", help="tiny run for smoke")
+    args = ap.parse_args()
+    if args.quick:
+        args.ratings, args.steps, args.batch = 100_000, 20, 1024
+
+    import jax
+
+    from recsys_tpu.config import EvalConfig, ModelConfig, RecsysConfig, TrainConfig
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.parallel.sharding import shard_batch
+    from recsys_tpu.data.pipeline import Batcher
+    from recsys_tpu.models import losses
+    from recsys_tpu.train.trainer import Trainer
+
+    bundle = get_bundle(args.ratings)
+    n_users = int(bundle["meta/n_users"])
+    n_items = int(bundle["meta/n_movies"])
+
+    cfg = RecsysConfig(
+        model=ModelConfig(embedding_dim=args.dim, mixed_precision=True),
+        train=TrainConfig(batch_size=args.batch, epochs=1),
+        eval=EvalConfig(topk=(10,)),
+    )
+    ctx = make_mesh(model_parallel=1)
+    trainer = Trainer(cfg, output_dir="/tmp/bench_run", mesh_ctx=ctx)
+
+    state = trainer.init_state(n_users, n_items, seed=0)
+    trainer._state_for_shape = state
+    class_weights = losses.balanced_class_weights(bundle["train/y_implicit"])
+
+    pop = np.bincount(bundle["train/movie_id"], minlength=n_items).astype(np.float32)
+    log_q = np.log(np.maximum(pop, 0.5) / len(bundle["train/movie_id"])).astype(np.float32)
+
+    batcher = Batcher(bundle, "train", args.batch, seed=0)
+    batches = []
+    it = batcher.epoch(0)
+    for _ in range(args.steps + args.warmup):
+        try:
+            b = next(it)
+        except StopIteration:
+            it = batcher.epoch(1)
+            b = next(it)
+        b = {**b, "log_q": log_q[b["movie_id"]]}
+        batches.append(shard_batch(ctx, b))
+
+    step = trainer.make_train_step(class_weights, batches[0], False)
+
+    for b in batches[: args.warmup]:
+        state, metrics = step(state, b)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for b in batches[args.warmup :]:
+        state, metrics = step(state, b)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    examples_per_s = args.steps * args.batch / dt
+    per_chip = examples_per_s / n_chips
+    result = {
+        "metric": "train_examples_per_s_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(per_chip / REFERENCE_EXAMPLES_PER_S, 2),
+        "extras": {
+            "platform": jax.devices()[0].platform,
+            "n_chips": n_chips,
+            "batch": args.batch,
+            "embedding_dim": args.dim,
+            "steps_timed": args.steps,
+            "step_time_ms": round(1000 * dt / args.steps, 3),
+            "final_loss": float(np.asarray(metrics["loss"])),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,7 +126,7 @@ def synthesize_ratings(
         for i in range(u1 - u0):
             n_u = act[u0 + i]
             picked = order[i, :n_u]
-            a = aff[u0 + i, picked]
+            a = aff[i, picked]
             r = np.clip(np.round(3.55 + 0.85 * a + rng.normal(0, 0.9, n_u)), 1, 5)
             ts = np.sort(
                 user_start[u0 + i]
