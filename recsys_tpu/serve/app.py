@@ -1,0 +1,251 @@
+"""HTTP serving app on the stdlib (FastAPI-free) with the reference's
+endpoint contract (``app/main.py:28-204``):
+
+* ``GET  /``               — service banner
+* ``GET  /health``         — health/readiness
+* ``GET  /model/info``     — model metadata
+* ``POST /recommend``      — ``{user_id, k}`` -> ranked items
+* ``POST /recommend/batch``— ``{user_ids, k}`` (documented+tested but
+  never shipped by the reference; shipped here)
+* ``POST /score``          — ``{user_id, item_ids}`` -> scores
+
+Status-code contract parity: 503 when the model is not loaded
+(``app/main.py:156-157``), 404 for unknown user/item on /score
+(ValueError -> 404, ``app/main.py:167-171``), 422 for invalid payloads
+(pydantic-equivalent validation), 500 otherwise.
+
+The server is a ``ThreadingHTTPServer``; JAX calls inside handlers are
+single-flight through the service's jitted functions (XLA executables
+are thread-safe; Python-side batching via /recommend/batch is the
+throughput path). An optional FastAPI adapter is provided for
+environments that have it (``make_fastapi_app``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional, Tuple
+
+from recsys_tpu.serve.service import RecommendationService
+
+logger = logging.getLogger(__name__)
+
+MAX_K = 100
+MAX_SCORE_ITEMS = 100
+MAX_BATCH_USERS = 1024
+
+
+class ValidationError(Exception):
+    pass
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ValidationError(msg)
+
+
+class Api:
+    """Transport-independent endpoint implementations."""
+
+    def __init__(self, service: Optional[RecommendationService]):
+        self.service = service
+
+    # each handler returns (status_code, payload_dict)
+    def root(self) -> Tuple[int, Dict]:
+        return 200, {
+            "service": "recsys_tpu recommendation API",
+            "version": "1.0.0",
+            "endpoints": [
+                "/health", "/model/info", "/recommend", "/recommend/batch",
+                "/score",
+            ],
+        }
+
+    def health(self) -> Tuple[int, Dict]:
+        ready = bool(self.service and self.service.is_ready())
+        return 200, {
+            "status": "healthy" if ready else "degraded",
+            "model_loaded": ready,
+            "model_version": self.service.model_version if ready else None,
+        }
+
+    def model_info(self) -> Tuple[int, Dict]:
+        if not (self.service and self.service.is_ready()):
+            return 503, {"detail": "Model not loaded"}
+        return 200, self.service.get_model_info()
+
+    def recommend(self, body: Dict) -> Tuple[int, Dict]:
+        if not (self.service and self.service.is_ready()):
+            return 503, {"detail": "Model not loaded"}
+        _require(isinstance(body.get("user_id"), int), "user_id must be int")
+        k = body.get("k", 10)
+        _require(isinstance(k, int) and 1 <= k <= MAX_K,
+                 f"k must be int in [1, {MAX_K}]")
+        recs = self.service.recommend(body["user_id"], k)
+        return 200, {
+            "user_id": body["user_id"],
+            "recommendations": recs,
+            "count": len(recs),
+            "model_version": self.service.model_version,
+        }
+
+    def recommend_batch(self, body: Dict) -> Tuple[int, Dict]:
+        if not (self.service and self.service.is_ready()):
+            return 503, {"detail": "Model not loaded"}
+        users = body.get("user_ids")
+        _require(
+            isinstance(users, list) and 1 <= len(users) <= MAX_BATCH_USERS
+            and all(isinstance(u, int) for u in users),
+            f"user_ids must be a list of 1..{MAX_BATCH_USERS} ints",
+        )
+        k = body.get("k", 10)
+        _require(isinstance(k, int) and 1 <= k <= MAX_K,
+                 f"k must be int in [1, {MAX_K}]")
+        results = self.service.recommend_batch(users, k)
+        return 200, {
+            "results": results,
+            "count": len(results),
+            "model_version": self.service.model_version,
+        }
+
+    def score(self, body: Dict) -> Tuple[int, Dict]:
+        if not (self.service and self.service.is_ready()):
+            return 503, {"detail": "Model not loaded"}
+        _require(isinstance(body.get("user_id"), int), "user_id must be int")
+        items = body.get("item_ids")
+        _require(
+            isinstance(items, list) and 1 <= len(items) <= MAX_SCORE_ITEMS
+            and all(isinstance(i, int) for i in items),
+            f"item_ids must be a list of 1..{MAX_SCORE_ITEMS} ints",
+        )
+        try:
+            scores = self.service.score(body["user_id"], items)
+        except ValueError as e:  # unknown user/item -> 404 (app/main.py:167-171)
+            return 404, {"detail": str(e)}
+        return 200, {
+            "user_id": body["user_id"],
+            "scores": scores,
+            "model_version": self.service.model_version,
+        }
+
+    def dispatch(self, method: str, path: str, body: Optional[Dict]) -> Tuple[int, Dict]:
+        try:
+            if method == "GET":
+                if path == "/":
+                    return self.root()
+                if path == "/health":
+                    return self.health()
+                if path == "/model/info":
+                    return self.model_info()
+            elif method == "POST":
+                if body is None:
+                    return 422, {"detail": "invalid or missing JSON body"}
+                if path == "/recommend":
+                    return self.recommend(body)
+                if path == "/recommend/batch":
+                    return self.recommend_batch(body)
+                if path == "/score":
+                    return self.score(body)
+            return 404, {"detail": "not found"}
+        except ValidationError as e:
+            return 422, {"detail": str(e)}
+        except Exception as e:  # 500 contract (app/main.py:169-171)
+            logger.exception("internal error on %s %s", method, path)
+            return 500, {"detail": f"internal error: {e}"}
+
+
+def make_http_server(
+    service: Optional[RecommendationService],
+    host: str = "0.0.0.0",
+    port: int = 8000,
+) -> ThreadingHTTPServer:
+    api = Api(service)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _respond(self, code: int, payload: Dict) -> None:
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.send_header("Access-Control-Allow-Origin", "*")  # CORS parity
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            code, payload = api.dispatch("GET", self.path, None)
+            self._respond(code, payload)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length) if length else b""
+            try:
+                body = json.loads(raw) if raw else None
+            except json.JSONDecodeError:
+                body = None
+            code, payload = api.dispatch("POST", self.path, body)
+            self._respond(code, payload)
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            logger.debug("%s - %s", self.address_string(), fmt % args)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(model_dir: str, host: str = "0.0.0.0", port: int = 8000) -> None:
+    """Load the inference bundle and serve (uvicorn-replacement entry).
+    Startup-failure contract parity (``app/main.py:105-119``): if the
+    model fails to load, the server still starts and answers 503s."""
+    service: Optional[RecommendationService] = None
+    try:
+        service = RecommendationService(model_dir).load()
+    except Exception:
+        logger.exception("model load failed; serving in degraded mode (503s)")
+    server = make_http_server(service, host, port)
+    logger.info("serving on %s:%d (model_dir=%s)", host, port, model_dir)
+    server.serve_forever()
+
+
+def make_fastapi_app(service: RecommendationService):
+    """Optional FastAPI adapter (same contract) for environments that
+    have fastapi installed; the core server above has no dependencies."""
+    try:
+        from fastapi import FastAPI, Request
+        from fastapi.responses import JSONResponse
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("fastapi is not installed in this environment") from e
+
+    api = Api(service)
+    app = FastAPI(title="recsys_tpu recommendation API")
+
+    @app.get("/")
+    async def root():
+        return api.root()[1]
+
+    @app.get("/health")
+    async def health():
+        return api.health()[1]
+
+    @app.get("/model/info")
+    async def model_info():
+        code, payload = api.model_info()
+        return JSONResponse(payload, status_code=code)
+
+    @app.post("/recommend")
+    async def recommend(request: Request):
+        code, payload = api.dispatch("POST", "/recommend", await request.json())
+        return JSONResponse(payload, status_code=code)
+
+    @app.post("/recommend/batch")
+    async def recommend_batch(request: Request):
+        code, payload = api.dispatch("POST", "/recommend/batch", await request.json())
+        return JSONResponse(payload, status_code=code)
+
+    @app.post("/score")
+    async def score(request: Request):
+        code, payload = api.dispatch("POST", "/score", await request.json())
+        return JSONResponse(payload, status_code=code)
+
+    return app

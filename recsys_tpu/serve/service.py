@@ -1,0 +1,207 @@
+"""Recommendation services (the ``app/recommendation_service.py`` and
+``app/simple_model_loader.py`` replacements).
+
+* :class:`RecommendationService` — loads the inference bundle
+  (``encoder.npz`` + ``vocabs.json`` + ``config.json`` + ``index.npz``,
+  the artifact set written by ``train.checkpoint.save_inference_bundle``)
+  and serves top-k via the jitted on-device scorer instead of FAISS
+  (parity: ``app/recommendation_service.py:18-110``).
+* :class:`StubRecommendationService` — model-free degraded-mode stand-in
+  with deterministic seeded random embeddings (parity:
+  ``app/simple_model_loader.py:15-179``).
+
+Contract notes (SURVEY §3.4):
+* ``recommend`` uses cosine scores (both sides L2-normalized), matching
+  the reference's ``faiss.normalize_L2`` + ``IndexFlatIP``;
+* ``score`` uses the raw un-normalized dot product, matching the
+  reference's ``tf.linalg.matvec`` — the asymmetry is reproduced
+  deliberately and is switchable via ``score_normalized=True``;
+* unknown user -> popularity fallback (first-k catalog order with
+  fabricated scores ``1 - 0.05*i``, ``app/recommendation_service.py:94-102``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from recsys_tpu.config import RecsysConfig
+from recsys_tpu.models.towers import TwoTower
+from recsys_tpu.retrieval.scorer import RetrievalIndex
+from recsys_tpu.train.checkpoint import load_encoder_params
+
+logger = logging.getLogger(__name__)
+
+
+class RecommendationService:
+    def __init__(self, model_dir: str):
+        self.model_dir = model_dir
+        self.config: Optional[RecsysConfig] = None
+        self.encoder_params = None
+        self.index: Optional[RetrievalIndex] = None
+        self.user_id_map: Dict[int, int] = {}
+        self.item_id_map: Dict[int, int] = {}
+        self._ready = False
+        self._lock = threading.Lock()
+        self.model_version = "1.0.0"
+
+    # ---- lifecycle -------------------------------------------------
+    def load(self) -> "RecommendationService":
+        d = self.model_dir
+        self.config = RecsysConfig.load(os.path.join(d, "config.json"))
+        with open(os.path.join(d, "vocabs.json")) as f:
+            vocabs = json.load(f)
+        self.user_id_map = {int(u): i for i, u in enumerate(vocabs["users"])}
+        self.item_id_map = {int(m): i for i, m in enumerate(vocabs["items"])}
+        self.encoder_params = load_encoder_params(d)
+        self.index = RetrievalIndex.load(os.path.join(d, "index.npz"))
+        self._popular = [int(r) for r in self.index.item_raw_ids[:200]]
+        self._ready = True
+        logger.info(
+            "loaded model from %s (%d users, %d items)",
+            d, len(self.user_id_map), len(self.item_id_map),
+        )
+        return self
+
+    def is_ready(self) -> bool:
+        return self._ready
+
+    # ---- core ops --------------------------------------------------
+    def _user_embedding(self, dense_uid: int) -> jnp.ndarray:
+        return TwoTower.user_embed(
+            self.encoder_params, jnp.array([dense_uid]), self.config.model
+        )
+
+    def recommend(self, user_id: int, k: int = 10) -> List[Dict]:
+        """Top-k for one user; cosine scores; popularity fallback for
+        unknown users (``app/recommendation_service.py:64-81``)."""
+        if not self._ready:
+            raise RuntimeError("service not loaded")
+        dense = self.user_id_map.get(int(user_id))
+        if dense is None:
+            return self._popular_items(k)
+        u = self._user_embedding(dense)
+        scores, ids = self.index.search(u, k)
+        return [
+            {
+                "item_id": int(self.index.item_raw_ids[i]),
+                "score": float(s),
+                "rank": r + 1,
+            }
+            for r, (i, s) in enumerate(zip(ids[0], scores[0]))
+        ]
+
+    def recommend_batch(self, user_ids: List[int], k: int = 10) -> List[Dict]:
+        """Batch variant — documented + smoke-tested by the reference
+        but missing from its shipped app (``app/model_service.py:200-228``);
+        shipped here. One jitted scoring call for the whole batch."""
+        if not self._ready:
+            raise RuntimeError("service not loaded")
+        dense = [self.user_id_map.get(int(u)) for u in user_ids]
+        known = [i for i, d in enumerate(dense) if d is not None]
+        out: List[Dict] = [
+            {"user_id": int(u), "recommendations": self._popular_items(k),
+             "status": "cold_start"}
+            for u in user_ids
+        ]
+        if known:
+            ids = jnp.array([dense[i] for i in known])
+            u_emb = TwoTower.user_embed(self.encoder_params, ids, self.config.model)
+            scores, top = self.index.search(u_emb, k)
+            for row, i in enumerate(known):
+                out[i] = {
+                    "user_id": int(user_ids[i]),
+                    "recommendations": [
+                        {
+                            "item_id": int(self.index.item_raw_ids[j]),
+                            "score": float(s),
+                            "rank": r + 1,
+                        }
+                        for r, (j, s) in enumerate(zip(top[row], scores[row]))
+                    ],
+                    "status": "ok",
+                }
+        return out
+
+    def score(self, user_id: int, item_ids: List[int],
+              normalized: bool = False) -> List[Dict]:
+        """Score given items for a user. Default raw dot (reference
+        ``/score`` parity); ``normalized=True`` gives cosine."""
+        if not self._ready:
+            raise RuntimeError("service not loaded")
+        dense_u = self.user_id_map.get(int(user_id))
+        if dense_u is None:
+            raise ValueError(f"unknown user_id {user_id}")
+        dense_items = []
+        for m in item_ids:
+            d = self.item_id_map.get(int(m))
+            if d is None:
+                raise ValueError(f"unknown item_id {m}")
+            dense_items.append(d)
+        u = self._user_embedding(dense_u)
+        if normalized:
+            from recsys_tpu.retrieval.scorer import l2_normalize
+
+            sel = jnp.take(self.index.item_embeddings, jnp.array(dense_items), axis=0)
+            s = np.asarray(l2_normalize(u) @ l2_normalize(sel).T)[0]
+        else:
+            s = self.index.raw_dot_scores(u, np.array(dense_items))[0]
+        return [
+            {"item_id": int(m), "score": float(v)} for m, v in zip(item_ids, s)
+        ]
+
+    def _popular_items(self, k: int) -> List[Dict]:
+        """Cold-start fallback, fabricated scores 1 - 0.05*i
+        (``app/recommendation_service.py:94-102`` parity)."""
+        return [
+            {"item_id": int(m), "score": round(1.0 - 0.05 * i, 4), "rank": i + 1}
+            for i, m in enumerate(self._popular[:k])
+        ]
+
+    def get_model_info(self) -> Dict:
+        return {
+            "model_version": self.model_version,
+            "model_dir": self.model_dir,
+            "n_users": len(self.user_id_map),
+            "n_items": len(self.item_id_map),
+            "embedding_dim": self.config.model.embedding_dim if self.config else None,
+            "backend": "recsys_tpu jitted scorer",
+            "ready": self._ready,
+        }
+
+
+class StubRecommendationService(RecommendationService):
+    """Degraded-mode stand-in: no trained artifacts needed; random
+    seeded embeddings (``app/simple_model_loader.py`` parity). Useful to
+    exercise the API without training."""
+
+    def __init__(self, n_users: int = 100, n_items: int = 200, dim: int = 16,
+                 seed: int = 42):
+        super().__init__(model_dir="<stub>")
+        rng = np.random.default_rng(seed)
+        from recsys_tpu.config import ModelConfig
+
+        self.config = RecsysConfig(model=ModelConfig(embedding_dim=dim))
+        self.user_id_map = {i + 1: i for i in range(n_users)}
+        self.item_id_map = {i + 1: i for i in range(n_items)}
+        self._stub_user_embs = rng.normal(size=(n_users, dim)).astype(np.float32)
+        self.index = RetrievalIndex(
+            rng.normal(size=(n_items, dim)).astype(np.float32),
+            np.arange(1, n_items + 1),
+        )
+        self._popular = [int(r) for r in self.index.item_raw_ids[:200]]
+        self._ready = True
+        self.model_version = "stub-0.0.0"
+
+    def _user_embedding(self, dense_uid: int) -> jnp.ndarray:
+        return jnp.asarray(self._stub_user_embs[dense_uid : dense_uid + 1])
+
+    def score(self, user_id: int, item_ids: List[int],
+              normalized: bool = False) -> List[Dict]:
+        return super().score(user_id, item_ids, normalized)

@@ -1,0 +1,181 @@
+"""Serving-layer tests: service semantics + live HTTP contract
+(the automated version of the reference's manual smoke script,
+``app/test_api.py`` — which required a hand-started server)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from recsys_tpu.serve.app import Api, make_http_server
+from recsys_tpu.serve.service import RecommendationService, StubRecommendationService
+
+
+@pytest.fixture(scope="module")
+def trained_service(tmp_path_factory):
+    """Train a tiny model in seconds, load it back through the full
+    artifact path (SURVEY §4 'API tests via a tiny trained-in-seconds
+    model')."""
+    import tests.conftest  # noqa: F401  (env already set)
+    from recsys_tpu.config import EvalConfig, ModelConfig, RecsysConfig, TrainConfig
+    from recsys_tpu.train.trainer import Trainer
+
+    out = str(tmp_path_factory.mktemp("serve_model"))
+    # borrow the session fixtures through a local build
+    from tests.conftest import tiny_raw as _  # noqa: F401
+    # build a minimal bundle inline
+    from recsys_tpu.data.movielens import synthesize_ratings
+    from recsys_tpu.data.preprocessing import preprocessing_pipeline
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    user_ids = np.arange(1, 51)
+    movie_ids = np.arange(1, 81) * 3
+    genres = np.array(["Drama", "Action"] * 40)
+    ratings = synthesize_ratings(user_ids, movie_ids, genres, n_ratings=1500, seed=5)
+    movies = pd.DataFrame({"movie_id": movie_ids,
+                           "title": [f"M ({1990})" for _ in movie_ids],
+                           "genres": genres})
+    users = pd.DataFrame({"user_id": user_ids, "gender": ["M", "F"] * 25,
+                          "age": [25] * 50, "occupation": [1] * 50,
+                          "zip": ["0"] * 50})
+    bundle = preprocessing_pipeline(ratings, movies, users)
+    cfg = RecsysConfig(
+        model=ModelConfig(embedding_dim=8, user_tower_dims=(16,),
+                          item_tower_dims=(16,), cross_layers=1, dnn_dims=(8,),
+                          dropout_rate=0.0, mixed_precision=False),
+        train=TrainConfig(batch_size=128, epochs=1, log_every_steps=1),
+        eval=EvalConfig(topk=(5,), eval_batch_size=128),
+    )
+    Trainer(cfg, output_dir=out).train(bundle)
+    svc = RecommendationService(f"{out}/serving").load()
+    return svc, bundle
+
+
+def test_service_recommend_and_score(trained_service):
+    svc, bundle = trained_service
+    raw_users = bundle["meta/user_raw_ids"]
+    raw_items = bundle["meta/movie_raw_ids"]
+    recs = svc.recommend(int(raw_users[0]), k=5)
+    assert len(recs) == 5
+    assert [r["rank"] for r in recs] == [1, 2, 3, 4, 5]
+    # scores descending
+    s = [r["score"] for r in recs]
+    assert s == sorted(s, reverse=True)
+    # recommended ids are real catalog raw ids
+    assert all(r["item_id"] in set(raw_items.tolist()) for r in recs)
+
+    # cold start: unknown user -> popularity fallback with fabricated scores
+    cold = svc.recommend(99999, k=3)
+    assert len(cold) == 3 and cold[0]["score"] == 1.0
+
+    scores = svc.score(int(raw_users[0]), [int(raw_items[0]), int(raw_items[1])])
+    assert len(scores) == 2
+    with pytest.raises(ValueError):
+        svc.score(99999, [int(raw_items[0])])
+    with pytest.raises(ValueError):
+        svc.score(int(raw_users[0]), [123456])
+
+
+def test_service_batch(trained_service):
+    svc, bundle = trained_service
+    raw_users = bundle["meta/user_raw_ids"]
+    res = svc.recommend_batch([int(raw_users[0]), 99999, int(raw_users[1])], k=4)
+    assert len(res) == 3
+    assert res[0]["status"] == "ok" and res[1]["status"] == "cold_start"
+    assert len(res[0]["recommendations"]) == 4
+
+
+def test_stub_service():
+    svc = StubRecommendationService(n_users=10, n_items=20, dim=8)
+    recs = svc.recommend(1, k=5)
+    assert len(recs) == 5
+    # deterministic across instances (seeded)
+    svc2 = StubRecommendationService(n_users=10, n_items=20, dim=8)
+    assert svc2.recommend(1, k=5) == recs
+    info = svc.get_model_info()
+    assert info["ready"] is True
+
+
+# ---- HTTP contract ----------------------------------------------------
+
+def _req(port, method, path, body=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def live_server(trained_service):
+    svc, bundle = trained_service
+    server = make_http_server(svc, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield port, bundle
+    server.shutdown()
+
+
+def test_http_endpoints(live_server):
+    port, bundle = live_server
+    uid = int(bundle["meta/user_raw_ids"][0])
+    iid = int(bundle["meta/movie_raw_ids"][0])
+
+    code, body = _req(port, "GET", "/health")
+    assert code == 200 and body["status"] == "healthy" and body["model_loaded"]
+
+    code, body = _req(port, "GET", "/")
+    assert code == 200 and "endpoints" in body
+
+    code, body = _req(port, "GET", "/model/info")
+    assert code == 200 and body["n_users"] > 0
+
+    code, body = _req(port, "POST", "/recommend", {"user_id": uid, "k": 5})
+    assert code == 200 and body["count"] == 5 and body["user_id"] == uid
+
+    code, body = _req(port, "POST", "/recommend/batch",
+                      {"user_ids": [uid, 99999], "k": 3})
+    assert code == 200 and body["count"] == 2
+
+    code, body = _req(port, "POST", "/score",
+                      {"user_id": uid, "item_ids": [iid]})
+    assert code == 200 and len(body["scores"]) == 1
+
+    # 404 contract: unknown user on /score
+    code, body = _req(port, "POST", "/score",
+                      {"user_id": 123456, "item_ids": [iid]})
+    assert code == 404
+
+    # 422 contract: invalid k
+    code, body = _req(port, "POST", "/recommend", {"user_id": uid, "k": 0})
+    assert code == 422
+    code, body = _req(port, "POST", "/recommend", {"user_id": uid, "k": 101})
+    assert code == 422
+
+    # unknown path
+    code, _ = _req(port, "GET", "/nope")
+    assert code == 404
+
+
+def test_http_not_ready_503():
+    server = make_http_server(None, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, body = _req(port, "GET", "/health")
+        assert code == 200 and body["status"] == "degraded"
+        code, _ = _req(port, "POST", "/recommend", {"user_id": 1, "k": 5})
+        assert code == 503
+        code, _ = _req(port, "GET", "/model/info")
+        assert code == 503
+    finally:
+        server.shutdown()
