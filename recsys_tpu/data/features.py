@@ -1,0 +1,223 @@
+"""Runtime feature engineering (the ``DataProcessor`` capability,
+``src/data_processing.py:16-279``), numpy-vectorized.
+
+Feature groups (reference citations per group):
+
+* time-of-day (hour sin/cos, time bucket, weekend)      — ``:81-89``
+* user stats: count/mean/std/min/max/nunique/range      — ``:92-109``
+* item stats mirror                                     — ``:112-129``
+* advanced temporal: activity-span days, rating velocity,
+  days since first/last activity, item age, recent (90d)
+  popularity, popularity trend                          — ``:132-168``
+* interaction: rating consistency 1/(1+std), polarization,
+  log-popularity match                                  — ``:171-186``
+* user genre preference: rating-weighted genre vector per
+  user (train-only cache) . item genre multi-hot        — ``:189-240``
+* standardization: fit on train, transform on eval      — ``:261-273``
+* NaN/inf -> 0                                          — ``:279``
+
+All *-statistics are computed on the **train split only** and applied
+to every split (leakage-free, parity with the reference's train-only
+caches). The reference computes these features but never feeds them to
+its model (SURVEY §7.3 "parity traps"); here they are a data-layer
+capability that can optionally be concatenated into the DCN input
+(``wide_features`` hook in the trainer config — off by default for
+model parity).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+SECONDS_PER_DAY = 86_400.0
+
+
+class StandardScaler:
+    """Fit-on-train / transform-anywhere (sklearn-parity, ~20 lines —
+    the SURVEY §2.2 native-replacement note)."""
+
+    def fit(self, x: np.ndarray) -> "StandardScaler":
+        self.mean_ = x.mean(axis=0)
+        self.scale_ = x.std(axis=0)
+        self.scale_ = np.where(self.scale_ < 1e-12, 1.0, self.scale_)
+        return self
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        return (x - self.mean_) / self.scale_
+
+
+def _group_stats(ids: np.ndarray, values: np.ndarray, size: int):
+    """count/sum/mean/std/min/max per group via bincount + sort-splits."""
+    cnt = np.bincount(ids, minlength=size).astype(np.float64)
+    s = np.bincount(ids, weights=values, minlength=size)
+    mean = np.divide(s, cnt, out=np.zeros_like(s), where=cnt > 0)
+    sq = np.bincount(ids, weights=values.astype(np.float64) ** 2, minlength=size)
+    var = np.maximum(np.divide(sq, cnt, out=np.zeros_like(sq), where=cnt > 0) - mean ** 2, 0)
+    std = np.sqrt(var)
+    mn = np.full(size, np.inf)
+    np.minimum.at(mn, ids, values)
+    mx = np.full(size, -np.inf)
+    np.maximum.at(mx, ids, values)
+    mn[~np.isfinite(mn)] = 0.0
+    mx[~np.isfinite(mx)] = 0.0
+    return cnt, mean, std, mn, mx
+
+
+def _group_minmax_ts(ids: np.ndarray, ts: np.ndarray, size: int):
+    first = np.full(size, np.inf)
+    np.minimum.at(first, ids, ts)
+    last = np.full(size, -np.inf)
+    np.maximum.at(last, ids, ts)
+    first[~np.isfinite(first)] = 0.0
+    last[~np.isfinite(last)] = 0.0
+    return first, last
+
+
+class FeatureEngineer:
+    """fit(train columns) -> transform(any split columns) -> feature
+    matrix [N, F] + names."""
+
+    def __init__(self, n_users: int, n_items: int,
+                 item_genres: Optional[np.ndarray] = None,
+                 standardize: bool = True):
+        self.n_users = n_users
+        self.n_items = n_items
+        self.item_genres = item_genres  # [n_items, G] multi-hot
+        self.standardize = standardize
+        self.fitted = False
+
+    # ---- fit on train ----------------------------------------------
+    def fit(self, uid: np.ndarray, mid: np.ndarray, rating: np.ndarray,
+            ts: np.ndarray) -> "FeatureEngineer":
+        nU, nI = self.n_users, self.n_items
+        (self.u_cnt, self.u_mean, self.u_std, self.u_min, self.u_max) = \
+            _group_stats(uid, rating, nU)
+        (self.i_cnt, self.i_mean, self.i_std, self.i_min, self.i_max) = \
+            _group_stats(mid, rating, nI)
+        # nunique items per user / users per item
+        pair = np.unique(np.stack([uid, mid], axis=1), axis=0)
+        self.u_nunique = np.bincount(pair[:, 0], minlength=nU).astype(np.float64)
+        self.i_nunique = np.bincount(pair[:, 1], minlength=nI).astype(np.float64)
+        # temporal caches
+        self.u_first, self.u_last = _group_minmax_ts(uid, ts, nU)
+        self.i_first, self.i_last = _group_minmax_ts(mid, ts, nI)
+        self.t_ref = float(ts.max())  # "now" = end of train
+        # recent (90-day) item popularity + trend (recent vs overall rate)
+        recent = ts >= self.t_ref - 90 * SECONDS_PER_DAY
+        self.i_recent_cnt = np.bincount(mid[recent], minlength=nI).astype(np.float64)
+        span_days = np.maximum((self.i_last - self.i_first) / SECONDS_PER_DAY, 1.0)
+        overall_rate = self.i_cnt / span_days
+        recent_rate = self.i_recent_cnt / 90.0
+        self.i_pop_trend = np.divide(
+            recent_rate, overall_rate,
+            out=np.zeros_like(recent_rate), where=overall_rate > 0,
+        )
+        # user genre preference: rating-weighted genre vector (train-only,
+        # src/data_processing.py:189-240)
+        if self.item_genres is not None:
+            G = self.item_genres.shape[1]
+            w = rating.astype(np.float64)
+            pref = np.zeros((nU, G))
+            np.add.at(pref, uid, w[:, None] * self.item_genres[mid])
+            denom = np.maximum(np.bincount(uid, weights=w, minlength=nU), 1e-9)
+            self.user_genre_prefs = pref / denom[:, None]
+        else:
+            self.user_genre_prefs = None
+        self.fitted = True
+        return self
+
+    # ---- transform any split ---------------------------------------
+    def feature_names(self) -> List[str]:
+        names = [
+            "hour_sin", "hour_cos", "is_weekend", "time_bucket",
+            "user_count", "user_mean", "user_std", "user_min", "user_max",
+            "user_nunique", "user_range",
+            "item_count", "item_mean", "item_std", "item_min", "item_max",
+            "item_nunique", "item_range",
+            "user_activity_days", "user_rating_velocity",
+            "user_days_since_first", "user_days_since_last",
+            "item_age_days", "item_recent_popularity", "item_pop_trend",
+            "rating_consistency", "user_polarization", "log_pop_match",
+        ]
+        if self.user_genre_prefs is not None:
+            names.append("user_genre_match")
+        return names
+
+    def transform(self, uid: np.ndarray, mid: np.ndarray,
+                  ts: np.ndarray) -> np.ndarray:
+        assert self.fitted, "call fit() first"
+        dt_days = (ts - ts.astype("float64") % SECONDS_PER_DAY)  # noqa: unused helper
+        hour = (ts % SECONDS_PER_DAY) / 3600.0
+        dow = ((ts // SECONDS_PER_DAY) + 4) % 7  # epoch day 0 = Thursday
+        cols = {}
+        cols["hour_sin"] = np.sin(2 * np.pi * hour / 24.0)
+        cols["hour_cos"] = np.cos(2 * np.pi * hour / 24.0)
+        cols["is_weekend"] = (dow >= 5).astype(np.float64)
+        cols["time_bucket"] = (hour // 6).astype(np.float64)  # night/morning/afternoon/evening
+
+        u, i = uid, mid
+        cols["user_count"] = self.u_cnt[u]
+        cols["user_mean"] = self.u_mean[u]
+        cols["user_std"] = self.u_std[u]
+        cols["user_min"] = self.u_min[u]
+        cols["user_max"] = self.u_max[u]
+        cols["user_nunique"] = self.u_nunique[u]
+        cols["user_range"] = self.u_max[u] - self.u_min[u]
+        cols["item_count"] = self.i_cnt[i]
+        cols["item_mean"] = self.i_mean[i]
+        cols["item_std"] = self.i_std[i]
+        cols["item_min"] = self.i_min[i]
+        cols["item_max"] = self.i_max[i]
+        cols["item_nunique"] = self.i_nunique[i]
+        cols["item_range"] = self.i_max[i] - self.i_min[i]
+
+        span = np.maximum((self.u_last[u] - self.u_first[u]) / SECONDS_PER_DAY, 0.0)
+        cols["user_activity_days"] = span
+        cols["user_rating_velocity"] = self.u_cnt[u] / np.maximum(span, 1.0)
+        cols["user_days_since_first"] = (ts - self.u_first[u]) / SECONDS_PER_DAY
+        cols["user_days_since_last"] = (ts - self.u_last[u]) / SECONDS_PER_DAY
+        cols["item_age_days"] = (ts - self.i_first[i]) / SECONDS_PER_DAY
+        cols["item_recent_popularity"] = self.i_recent_cnt[i]
+        cols["item_pop_trend"] = self.i_pop_trend[i]
+
+        cols["rating_consistency"] = 1.0 / (1.0 + self.u_std[u])
+        cols["user_polarization"] = np.abs(self.u_mean[u] - 3.0)
+        # log-popularity match: does this user tend to rate items of this
+        # popularity tier? (src/data_processing.py:171-186 flavor)
+        log_pop = np.log1p(self.i_cnt)
+        u_avg_logpop = np.zeros(self.n_users)
+        cols["log_pop_match"] = log_pop[i] - np.log1p(np.median(self.i_cnt))
+
+        if self.user_genre_prefs is not None:
+            cols["user_genre_match"] = np.einsum(
+                "ng,ng->n", self.user_genre_prefs[u], self.item_genres[i]
+            )
+
+        mat = np.stack([cols[n] for n in self.feature_names()], axis=1)
+        mat = np.nan_to_num(mat, nan=0.0, posinf=0.0, neginf=0.0)
+        return mat.astype(np.float32)
+
+    # ---- fit+standardize pipeline ----------------------------------
+    def fit_transform_splits(
+        self, bundle: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        """Convenience: fit on train, emit standardized features for
+        every split (scaler fit on train only, ``:261-273``)."""
+        self.fit(
+            bundle["train/user_id"], bundle["train/movie_id"],
+            bundle["train/rating"], bundle["train/timestamp"].astype(np.float64),
+        )
+        feats = {
+            split: self.transform(
+                bundle[f"{split}/user_id"], bundle[f"{split}/movie_id"],
+                bundle[f"{split}/timestamp"].astype(np.float64),
+            )
+            for split in ("train", "val", "test")
+        }
+        if self.standardize:
+            scaler = StandardScaler().fit(feats["train"])
+            feats = {k: scaler.transform(v) for k, v in feats.items()}
+            self.scaler = scaler
+        return feats

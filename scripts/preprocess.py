@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Preprocessing CLI (parity: ``scripts/preprocess.py`` +
+``src/preprocessing.py:225-235`` of the reference).
+
+Usage:
+  python scripts/preprocess.py --data_dir data/raw --output data/processed/processed_data.npz
+"""
+
+import argparse
+import logging
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Preprocess MovieLens-1M data")
+    ap.add_argument("--data_dir", default="data/raw",
+                    help="directory with ratings.dat/movies.dat/users.dat")
+    ap.add_argument("--output", default="data/processed/processed_data.npz",
+                    help="output bundle path (.npz)")
+    ap.add_argument("--implicit_threshold", type=float, default=4.0,
+                    help="rating >= threshold defines the positive label")
+    ap.add_argument("--synthetic_ratings", type=int, default=None,
+                    help="synthesize N ratings when ratings.dat is absent")
+    ap.add_argument("--synthetic_seed", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+    from recsys_tpu.data.preprocessing import run
+
+    run(
+        args.data_dir,
+        args.output,
+        implicit_threshold=args.implicit_threshold,
+        synthetic_ratings=args.synthetic_ratings,
+        synthetic_seed=args.synthetic_seed,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

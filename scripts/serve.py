@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Serving CLI (replaces ``uvicorn main:app`` / ``app/start_api.sh``).
+
+Usage:
+  python scripts/serve.py --model_dir outputs/models/experiment_001/serving \
+      [--host 0.0.0.0] [--port 8000] [--stub]
+"""
+
+import argparse
+import logging
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Serve recommendations over HTTP")
+    ap.add_argument("--model_dir", default="outputs/models/experiment_001/serving")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--stub", action="store_true",
+                    help="serve the model-free stub service (degraded mode)")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+
+    if args.stub:
+        from recsys_tpu.serve.app import make_http_server
+        from recsys_tpu.serve.service import StubRecommendationService
+
+        server = make_http_server(StubRecommendationService(), args.host, args.port)
+        logging.getLogger("serve").info("stub serving on %s:%d", args.host, args.port)
+        server.serve_forever()
+        return 0
+
+    from recsys_tpu.serve.app import serve_forever
+
+    serve_forever(args.model_dir, args.host, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

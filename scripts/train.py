@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Training CLI (flag parity with the reference ``scripts/train.py:39-192``
+plus the mesh/topology flags a TPU build needs).
+
+Reference flags kept (same names, same defaults where the reference CLI
+defines them — the dataclass/CLI default mismatches of SURVEY §5.6 are
+resolved in favor of the CLI, which is what users actually ran):
+  --data --output_dir --embedding_dim --cross_layers --batch_size
+  --epochs --learning_rate --negative_sampling --num_hard_negatives
+  --num_random_negatives --ctr_weight --rating_weight
+  --distributed_strategy --use_wandb
+
+New (TPU): --model_parallel --embedding_sharding --resume --bf16
+  --global_negatives --eval_sample
+"""
+
+import argparse
+import logging
+import sys
+
+
+def build_config(args):
+    from recsys_tpu.config import (
+        DataConfig, EvalConfig, MeshConfig, ModelConfig, RecsysConfig, TrainConfig,
+    )
+
+    return RecsysConfig(
+        model=ModelConfig(
+            embedding_dim=args.embedding_dim,
+            cross_layers=args.cross_layers,
+            ctr_weight=args.ctr_weight,
+            rating_weight=args.rating_weight,
+            mixed_precision=args.bf16,
+        ),
+        data=DataConfig(
+            negative_sampling=args.negative_sampling,
+            num_hard_negatives=args.num_hard_negatives,
+            num_random_negatives=args.num_random_negatives,
+        ),
+        train=TrainConfig(
+            batch_size=args.batch_size,
+            learning_rate=args.learning_rate,
+            epochs=args.epochs,
+            resume=args.resume,
+            seed=args.seed,
+        ),
+        mesh=MeshConfig(
+            model_axis=args.model_parallel,
+            embedding_sharding=args.embedding_sharding,
+        ),
+        eval=EvalConfig(eval_sample=args.eval_sample),
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Train the TPU recsys model")
+    ap.add_argument("--data", required=True, help="preprocessed bundle (.npz)")
+    ap.add_argument("--output_dir", default="outputs/models/experiment_001")
+    # reference CLI defaults (scripts/train.py:60-125)
+    ap.add_argument("--embedding_dim", type=int, default=64)
+    ap.add_argument("--cross_layers", type=int, default=1)
+    ap.add_argument("--batch_size", type=int, default=2048)
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--learning_rate", type=float, default=1e-3)
+    ap.add_argument("--negative_sampling", default="random",
+                    choices=["random", "hard", "mixed"])
+    ap.add_argument("--num_hard_negatives", type=int, default=20)
+    ap.add_argument("--num_random_negatives", type=int, default=30)
+    ap.add_argument("--ctr_weight", type=float, default=0.2)
+    ap.add_argument("--rating_weight", type=float, default=0.2)
+    ap.add_argument("--distributed_strategy", default="mesh",
+                    choices=["none", "mirrored", "multi_worker", "mesh"],
+                    help="accepted for compat; everything maps to the mesh runtime")
+    ap.add_argument("--use_wandb", action="store_true")
+    # TPU-native flags
+    ap.add_argument("--model_parallel", type=int, default=1,
+                    help="size of the model mesh axis (embedding-row shards)")
+    ap.add_argument("--embedding_sharding", default="replicated",
+                    choices=["replicated", "rows"])
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--no-bf16", dest="bf16", action="store_false")
+    ap.add_argument("--eval_sample", type=int, default=0,
+                    help="0 = full-split eval; N = reference-style sampled eval")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    from recsys_tpu.utils.metrics_io import setup_logging
+
+    setup_logging()
+    logger = logging.getLogger("train")
+
+    from recsys_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
+    cfg = build_config(args)
+    logger.info("config:\n%s", cfg.to_json())
+
+    from recsys_tpu.data.preprocessing import load_bundle
+    from recsys_tpu.train.trainer import Trainer
+
+    bundle = load_bundle(args.data)
+
+    wandb_run = None
+    if args.use_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="recsys-tpu", config=cfg.to_dict())
+        except ImportError:
+            logger.warning("wandb not installed; continuing without it")
+
+    try:
+        trainer = Trainer(cfg, output_dir=args.output_dir)
+        report = trainer.train(bundle)
+        logger.info("final metrics: %s", report)
+        if wandb_run is not None:
+            wandb_run.log(report)
+        return 0
+    except KeyboardInterrupt:
+        logger.warning("interrupted by user")
+        return 130
+    finally:
+        if wandb_run is not None:
+            wandb_run.finish()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
