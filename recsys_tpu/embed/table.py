@@ -1,0 +1,143 @@
+"""Row-sharded embedding lookup engine (SURVEY §2.3).
+
+The reference's embedding tables are fully replicated
+(``keras.layers.Embedding`` under MirroredStrategy, ``src/models.py:71``).
+At scale (BASELINE.json configs[4]: 100M-row tables) a table no longer
+fits one chip, so rows are partitioned over the ``model`` mesh axis.
+Three lookup strategies, all differentiable (the backward pass is the
+gather transpose — a scatter-add into local rows — which JAX derives
+automatically through ``shard_map``):
+
+1. **XLA-partitioned** (default in the trainer): keep ``jnp.take`` under
+   ``jit`` with the table sharded ``P('model', None)``; XLA's SPMD
+   partitioner emits the collective gather. Zero code, good baseline.
+2. **psum-gather** (:func:`make_sharded_lookup_psum`): every shard
+   gathers the ids it owns (others masked to zero) and the results are
+   summed over the axis. Communication: one psum of ``[B, D]`` —
+   bandwidth-optimal when B·D is small and avoids host-side bucketing.
+3. **all-to-all** (:func:`make_sharded_lookup_a2a`): ids are bucketed
+   by owner shard into fixed-capacity bins (static shapes; overflow
+   drops to the OOV row and is reported), exchanged with
+   ``lax.all_to_all``, gathered locally, and exchanged back.
+   Communication: 2 all-to-alls of ``[S·cap]`` ids + ``[S·cap, D]``
+   rows — the scalable path when B >> capacity per shard
+   (each id moves once instead of every shard touching every id).
+
+CPU-mesh equivalence tests: ``tests/test_embed.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from recsys_tpu.parallel.mesh import MeshContext
+
+
+def lookup_replicated(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Baseline replicated lookup (clip-to-OOV semantics of
+    ``models.towers``)."""
+    return jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
+
+
+def make_sharded_lookup_psum(ctx: MeshContext) -> Callable:
+    """Masked-local-gather + psum lookup.
+
+    Returns ``f(table_sharded [V, D], ids [B]) -> [B, D]`` jitted over
+    the mesh; ``table`` must be row-sharded over ``model`` and ``ids``
+    replicated along it (sharded over ``data`` is fine).
+    """
+    axis = ctx.model_axis
+
+    def body(table_shard, ids):
+        rows_per_shard = table_shard.shape[0]
+        shard = lax.axis_index(axis)
+        local = ids - shard * rows_per_shard
+        own = (local >= 0) & (local < rows_per_shard)
+        safe = jnp.clip(local, 0, rows_per_shard - 1)
+        rows = jnp.take(table_shard, safe, axis=0)
+        rows = jnp.where(own[:, None], rows, 0.0)
+        return lax.psum(rows, axis)
+
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=ctx.mesh,
+            in_specs=(P(ctx.model_axis, None), P(ctx.data_axis)),
+            out_specs=P(ctx.data_axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def make_sharded_lookup_a2a(ctx: MeshContext, capacity: int) -> Callable:
+    """Capacity-bucketed all-to-all lookup.
+
+    ``capacity`` = max ids any (shard -> shard) bucket can carry per
+    call (static). Overflowing ids fall back to row 0 of the owner and
+    an overflow count is returned — size capacity via
+    ``MeshConfig.lookup_capacity_factor * B / n_shards``.
+
+    Returns ``f(table_sharded, ids) -> (rows [B, D], overflow [])``.
+    """
+    axis = ctx.model_axis
+    n = ctx.n_model
+
+    def body(table_shard, ids):
+        b = ids.shape[0]
+        rows_per_shard = table_shard.shape[0]
+        owner = jnp.clip(ids // rows_per_shard, 0, n - 1)
+
+        # stable bucket-by-owner with fixed capacity per destination
+        order = jnp.argsort(owner, stable=True)
+        sorted_ids = ids[order]
+        sorted_owner = owner[order]
+        # position of each element within its owner run
+        ones = jnp.ones_like(sorted_owner)
+        pos_in_owner = jnp.cumsum(ones) - 1
+        start = jnp.searchsorted(sorted_owner, jnp.arange(n))
+        pos_in_owner = pos_in_owner - start[sorted_owner]
+        fits = pos_in_owner < capacity
+        overflow = jnp.sum(~fits)
+
+        # send buffer [n * capacity] of local row indices (+1, 0 = empty)
+        send = jnp.zeros((n * capacity,), jnp.int32)
+        slot = sorted_owner * capacity + jnp.where(fits, pos_in_owner, 0)
+        local_row = sorted_ids - sorted_owner * rows_per_shard
+        send = send.at[slot].set(
+            jnp.where(fits, local_row + 1, send[slot]).astype(jnp.int32)
+        )
+
+        # exchange id requests: chunk j goes to shard j
+        req = lax.all_to_all(
+            send.reshape(n, capacity), axis, split_axis=0, concat_axis=0
+        ).reshape(n * capacity)
+
+        # serve local rows (0 = empty slot -> produce zeros)
+        got = jnp.take(table_shard, jnp.clip(req - 1, 0, rows_per_shard - 1), axis=0)
+        got = jnp.where((req > 0)[:, None], got, 0.0)
+
+        # send results back
+        back = lax.all_to_all(
+            got.reshape(n, capacity, -1), axis, split_axis=0, concat_axis=0
+        ).reshape(n * capacity, -1)
+
+        # scatter results to original positions
+        out_sorted = jnp.where(fits[:, None], back[slot], 0.0)
+        out = jnp.zeros_like(out_sorted).at[order].set(out_sorted)
+        # total overflow across the data axis (identical on model replicas)
+        return out, lax.psum(overflow, ctx.data_axis)
+
+    f = jax.shard_map(
+        body,
+        mesh=ctx.mesh,
+        in_specs=(P(ctx.model_axis, None), P(ctx.data_axis)),
+        out_specs=(P(ctx.data_axis, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(f)
