@@ -1,0 +1,148 @@
+"""Blockwise and ring top-k retrieval over large catalogs.
+
+The catalog-length analogue of ring attention (SURVEY §5.7): when the
+item catalog is too large to score in one [Q, N] matmul (or doesn't fit
+one chip's HBM at BASELINE.json configs[4] scale), score it in blocks
+with a running top-k:
+
+* :func:`blockwise_topk` — single-device ``lax.scan`` over item blocks;
+  peak memory O(Q·(k + block)) instead of O(Q·N). Each step is one MXU
+  matmul + a cheap [Q, 2k] merge (block-local ``lax.top_k`` first, so
+  the merge never sorts more than 2k).
+* :func:`make_ring_topk` — item shards live one-per-device on the
+  ``model`` axis; the *shards rotate* around the ring via ``ppermute``
+  (identical in shape to ring attention's KV rotation) while each
+  device keeps a running top-k for its local queries. After S steps
+  every device has scored the full catalog without ever materializing
+  it; no all-gather of embeddings, only the [Q_local, k] candidate set
+  moves at the end (nothing — candidates stay local).
+
+Both are exact (equivalence-tested against the dense scorer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from recsys_tpu.parallel.mesh import MeshContext
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _merge(run_s, run_i, new_s, new_i, k):
+    s = jnp.concatenate([run_s, new_s], axis=-1)
+    i = jnp.concatenate([run_i, new_i], axis=-1)
+    top_s, pos = lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(i, pos, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("k", "block_size", "normalize"))
+def blockwise_topk(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    k: int,
+    block_size: int = 4096,
+    normalize: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[Q,d] x [N,d] -> ([Q,k], [Q,k]) without materializing [Q,N].
+
+    The tail block is padded with -inf scores (ids clipped), so N need
+    not divide block_size.
+    """
+    q, d = user_emb.shape
+    n = item_emb.shape[0]
+    if normalize:
+        user_emb = user_emb / jnp.maximum(
+            jnp.linalg.norm(user_emb, axis=-1, keepdims=True), 1e-12
+        )
+        item_emb = item_emb / jnp.maximum(
+            jnp.linalg.norm(item_emb, axis=-1, keepdims=True), 1e-12
+        )
+    n_blocks = -(-n // block_size)
+    padded = n_blocks * block_size
+    item_pad = jnp.pad(item_emb, ((0, padded - n), (0, 0)))
+    blocks = item_pad.reshape(n_blocks, block_size, d)
+    kk = min(k, block_size)
+
+    def step(carry, inp):
+        run_s, run_i = carry
+        block, b_idx = inp
+        scores = jnp.dot(user_emb, block.T, preferred_element_type=jnp.float32)
+        gids = b_idx * block_size + jnp.arange(block_size)
+        valid = gids < n
+        scores = jnp.where(valid[None, :], scores, NEG_INF)
+        b_s, b_i = lax.top_k(scores, kk)
+        new_i = jnp.take(jnp.clip(gids, 0, n - 1), b_i)
+        return _merge(run_s, run_i, b_s, new_i, k), None
+
+    init = (
+        jnp.full((q, k), NEG_INF),
+        jnp.zeros((q, k), jnp.int32),
+    )
+    (top_s, top_i), _ = lax.scan(step, init, (blocks, jnp.arange(n_blocks)))
+    return top_s, top_i
+
+
+def make_ring_topk(ctx: MeshContext, k: int, normalize: bool = True):
+    """Ring scorer over item shards on the ``model`` axis.
+
+    Returns ``f(user_emb [Q,d] data-sharded, item_shards [N,d]
+    model-sharded) -> ([Q,k], [Q,k] global ids)``; requires equal shard
+    sizes (pad the catalog to a multiple of n_model).
+    """
+    axis = ctx.model_axis
+    n_shards = ctx.n_model
+
+    def body(user_emb, item_shard):
+        if normalize:
+            u = user_emb / jnp.maximum(
+                jnp.linalg.norm(user_emb, axis=-1, keepdims=True), 1e-12
+            )
+        else:
+            u = user_emb
+        rows = item_shard.shape[0]
+        my = lax.axis_index(axis)
+        q = u.shape[0]
+        kk = min(k, rows)
+
+        def step(carry, s):
+            run_s, run_i, shard = carry
+            # shard currently held originated at (my - s) mod n_shards
+            origin = (my - s) % n_shards
+            v = shard
+            if normalize:
+                v = v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12
+                )
+            scores = jnp.dot(u, v.T, preferred_element_type=jnp.float32)
+            b_s, b_i = lax.top_k(scores, kk)
+            gids = (origin * rows + b_i).astype(jnp.int32)
+            run_s, run_i = _merge(run_s, run_i, b_s, gids, k)
+            # rotate: send my current shard to the next device
+            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+            shard = lax.ppermute(shard, axis, perm)
+            return (run_s, run_i, shard), None
+
+        init = (
+            jnp.full((q, k), NEG_INF),
+            jnp.zeros((q, k), jnp.int32),
+            item_shard,
+        )
+        (run_s, run_i, _), _ = lax.scan(step, init, jnp.arange(n_shards))
+        return run_s, run_i
+
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=ctx.mesh,
+            in_specs=(P(ctx.data_axis, None), P(ctx.model_axis, None)),
+            out_specs=(P(ctx.data_axis, None), P(ctx.data_axis, None)),
+            check_vma=False,
+        )
+    )

@@ -1,0 +1,74 @@
+"""Hot-op tests: Pallas DCN kernel equivalence (interpret mode on CPU),
+blockwise and ring top-k vs the dense scorer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recsys_tpu.ops.pallas.dcn_cross import dcn_cross_fused, dcn_cross_reference
+from recsys_tpu.ops.topk import blockwise_topk, make_ring_topk
+from recsys_tpu.parallel.mesh import make_mesh
+from recsys_tpu.parallel.sharding import batch_sharding, rows_sharding
+from recsys_tpu.retrieval.scorer import topk_scores
+
+
+def test_dcn_cross_kernel_fwd_bwd():
+    rng = np.random.default_rng(0)
+    n, d, L = 64, 32, 3
+    x0 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(L, d)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(L, d)).astype(np.float32) * 0.1)
+    np.testing.assert_allclose(
+        np.asarray(dcn_cross_fused(x0, w, b)),
+        np.asarray(dcn_cross_reference(x0, w, b)),
+        atol=1e-4,
+    )
+    g = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    ga = jax.grad(lambda *a: jnp.sum(dcn_cross_fused(*a) * g), argnums=(0, 1, 2))(x0, w, b)
+    gr = jax.grad(lambda *a: jnp.sum(dcn_cross_reference(*a) * g), argnums=(0, 1, 2))(x0, w, b)
+    for a, r in zip(ga, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-3)
+
+
+@pytest.mark.parametrize("n_items,block", [(100, 32), (256, 64), (64, 64), (50, 64)])
+def test_blockwise_topk_matches_dense(n_items, block):
+    rng = np.random.default_rng(1)
+    q, d, k = 8, 16, 7
+    u = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n_items, d)).astype(np.float32))
+    s_blk, i_blk = blockwise_topk(u, v, k, block_size=block)
+    s_ref, i_ref = topk_scores(u, v, k, normalize=True)
+    np.testing.assert_allclose(np.asarray(s_blk), np.asarray(s_ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_blk), np.asarray(i_ref))
+
+
+def test_ring_topk_matches_dense():
+    ctx = make_mesh(model_parallel=4)
+    rng = np.random.default_rng(2)
+    q, n, d, k = 8, 64, 16, 6
+    u = rng.normal(size=(q, d)).astype(np.float32)
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    ring = make_ring_topk(ctx, k)
+    u_dev = jax.device_put(u, batch_sharding(ctx, 2))
+    v_dev = jax.device_put(v, rows_sharding(ctx))
+    s_ring, i_ring = ring(u_dev, v_dev)
+    s_ref, i_ref = topk_scores(jnp.asarray(u), jnp.asarray(v), k)
+    np.testing.assert_allclose(np.asarray(s_ring), np.asarray(s_ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_ring), np.asarray(i_ref))
+
+
+def test_ring_topk_unnormalized():
+    ctx = make_mesh(model_parallel=8)
+    rng = np.random.default_rng(3)
+    q, n, d, k = 4, 32, 8, 3
+    u = rng.normal(size=(q, d)).astype(np.float32)
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    ring = make_ring_topk(ctx, k, normalize=False)
+    s_ring, i_ring = ring(
+        jax.device_put(u, batch_sharding(ctx, 2)),
+        jax.device_put(v, rows_sharding(ctx)),
+    )
+    dense = u @ v.T
+    ref_i = np.argsort(-dense, 1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(i_ring), ref_i)
