@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Quality-benchmark runner for the BASELINE.json configs[0..3].
+
+The reference publishes no quality numbers (BASELINE.md), so these runs
+ARE the baseline record: each config trains on the deterministic
+ML-1M-scale synthetic dataset (seed-pinned) and writes its full metric
+report to ``benchmarks/results/<name>.json``.
+
+  python benchmarks/run_quality.py --config c1   # or c0/c2/c3/all
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CONFIGS = {
+    # BASELINE.json configs[0]: two-tower retrieval, dim 32, batch 512
+    "c0": dict(embedding_dim=32, batch_size=512, epochs=3, cross_layers=1,
+               negative_sampling="random", lr=0.05),
+    # configs[1]: dim 128, batch 4096, mixed negatives, full eval
+    "c1": dict(embedding_dim=128, batch_size=4096, epochs=8, cross_layers=3,
+               negative_sampling="mixed", lr=0.05),
+    # configs[2]: DCN ranking focus (3 cross layers, multi-task weights)
+    "c2": dict(embedding_dim=64, batch_size=2048, epochs=6, cross_layers=3,
+               negative_sampling="random", lr=0.05, ctr_weight=2.0,
+               rating_weight=0.2),
+    # configs[3]: full two-stage pipeline (retrieval -> topk -> rerank eval)
+    "c3": dict(embedding_dim=128, batch_size=4096, epochs=8, cross_layers=3,
+               negative_sampling="random", lr=0.05, two_stage_eval=True),
+}
+
+
+def run_one(name: str, spec: dict, bundle) -> dict:
+    import jax
+
+    from recsys_tpu.config import (
+        DataConfig, EvalConfig, ModelConfig, RecsysConfig, TrainConfig,
+    )
+    from recsys_tpu.train.trainer import Trainer
+
+    cfg = RecsysConfig(
+        model=ModelConfig(
+            embedding_dim=spec["embedding_dim"],
+            cross_layers=spec["cross_layers"],
+            ctr_weight=spec.get("ctr_weight", 2.0),
+            rating_weight=spec.get("rating_weight", 0.2),
+            mixed_precision=True,
+        ),
+        data=DataConfig(negative_sampling=spec["negative_sampling"],
+                        num_hard_negatives=4, num_random_negatives=8),
+        train=TrainConfig(batch_size=spec["batch_size"], epochs=spec["epochs"],
+                          learning_rate=spec["lr"], early_stop_patience=20),
+        eval=EvalConfig(topk=(5, 10, 20, 50), eval_batch_size=8192),
+    )
+    out_dir = f"outputs/bench_quality/{name}"
+    t0 = time.time()
+    trainer = Trainer(cfg, output_dir=out_dir)
+    report = trainer.train(bundle)
+    report["wall_time_s"] = time.time() - t0
+    report["config_name"] = name
+    report["platform"] = jax.devices()[0].platform
+
+    if spec.get("two_stage_eval"):
+        report.update(two_stage_eval(trainer, cfg, bundle))
+    return report
+
+
+def two_stage_eval(trainer, cfg, bundle) -> dict:
+    """configs[3]: retrieval top-200 candidates -> DCN CTR-head rerank
+    -> recall@10 of the reranked list (the full two-stage serving path
+    scored offline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.models.multitask import MultiTaskModel
+    from recsys_tpu.models.towers import TwoTower
+    from recsys_tpu.retrieval.scorer import materialize_item_embeddings, topk_scores
+
+    params = jax.device_get(trainer.final_state.params)
+    mcfg = cfg.model
+    n_items = int(bundle["meta/n_movies"])
+    item_embs = materialize_item_embeddings(params["towers"], mcfg, n_items)
+
+    uid = bundle["val/user_id"][:8192]
+    mid = bundle["val/movie_id"][:8192]
+    n_cand = 200
+
+    @jax.jit
+    def stage(params, u_ids):
+        u_emb = TwoTower.user_embed(params["towers"], u_ids, mcfg)
+        _, cand = topk_scores(u_emb, item_embs, n_cand, normalize=True)
+        # rerank candidates with the CTR head
+        B = u_ids.shape[0]
+        flat_items = cand.reshape(-1)
+        flat_users = jnp.repeat(u_ids, n_cand)
+        out = MultiTaskModel.apply(params, mcfg, flat_users, flat_items)
+        ctr = out.ctr_logit.reshape(B, n_cand)
+        order = jnp.argsort(-ctr, axis=1)
+        return jnp.take_along_axis(cand, order, axis=1)
+
+    preds = []
+    bs = 2048
+    for lo in range(0, len(uid), bs):
+        chunk = uid[lo : lo + bs]
+        pad = bs - len(chunk)
+        chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
+        p = np.asarray(stage(params, jnp.asarray(chunk)))
+        preds.append(p[: bs - pad])
+    preds = np.concatenate(preds)
+
+    from recsys_tpu.retrieval.metrics import RankingMetrics
+
+    return {
+        "two_stage_recall@10": RankingMetrics.recall_at_k(preds[:, :10], mid, 10),
+        "two_stage_ndcg@10": RankingMetrics.ndcg_at_k(preds[:, :10], mid, 10),
+        "two_stage_candidates": n_cand,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="c1", choices=[*CONFIGS, "all"])
+    ap.add_argument("--ratings", type=int, default=1_000_209)
+    args = ap.parse_args()
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+
+    from bench import get_bundle
+
+    bundle = get_bundle(args.ratings)
+    names = list(CONFIGS) if args.config == "all" else [args.config]
+    os.makedirs("benchmarks/results", exist_ok=True)
+    for name in names:
+        report = run_one(name, CONFIGS[name], bundle)
+        path = f"benchmarks/results/{name}.json"
+        with open(path, "w") as f:
+            json.dump({k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+                       for k, v in report.items()}, f, indent=2)
+        print(name, "->", path)
+        print(json.dumps({k: round(v, 4) for k, v in report.items()
+                          if isinstance(v, float)}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

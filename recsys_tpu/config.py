@@ -56,6 +56,11 @@ class ModelConfig:
     rating_weight: float = 0.2
     # bfloat16 compute in towers/DCN (params remain fp32)
     mixed_precision: bool = True
+    # residual connection around each tower MLP (out = emb + MLP(emb)).
+    # Design divergence from the reference (plain MLP, src/models.py:70-77):
+    # lets the id embedding reach the score directly, which materially
+    # speeds up factorization learning under in-batch softmax.
+    tower_residual: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "user_tower_dims", tuple(self.user_tower_dims))
@@ -109,6 +114,14 @@ class TrainConfig:
     optimizer: str = "adagrad"
     # EarlyStopping(patience=20, restore_best) parity (src/trainer.py:166)
     early_stop_patience: int = 20
+    # what early stopping monitors: "val_loss" (reference parity,
+    # src/trainer.py:166) or "val_recall@10" (better aligned with
+    # retrieval quality — val loss can diverge from memorization while
+    # masked recall still improves)
+    early_stop_metric: str = "val_loss"
+    # run a sampled retrieval eval every N epochs (0 = only at the end);
+    # required when early_stop_metric is recall-based
+    eval_every_epochs: int = 0
     shuffle_buffer: int = 50_000  # reference shuffles with this buffer; we do a full permutation per epoch
     seed: int = 42
     use_class_weights: bool = True  # balanced CTR class weights (src/trainer.py:139-146)
@@ -122,6 +135,15 @@ class TrainConfig:
     resume: bool = False
     log_every_steps: int = 50
     donate_state: bool = True
+    # Device-resident data path: the whole train split lives on device
+    # and an epoch is ONE compiled lax.scan (on-device shuffle + gather
+    # per step). Removes all per-step host->device transfers — the
+    # difference between ~13k and ~2.8M examples/s over a remote TPU
+    # tunnel. Falls back to the streaming path when the split exceeds
+    # device_data_limit_mb or when explicit negative sampling is on
+    # (host-side sampler).
+    device_resident_data: bool = True
+    device_data_limit_mb: int = 2048
     profile: bool = False  # jax.profiler trace capture around a training window
 
 
@@ -159,9 +181,15 @@ class EvalConfig:
     # score against items the user has already interacted with? The
     # reference does not filter seen items; keep parity by default.
     filter_seen: bool = False
+    # "cosine" = L2-normalized dot (reference FAISS parity, SURVEY §3.4);
+    # "dot" = raw dot + item bias — the principled ranking when training
+    # with logQ correction (score estimates log P(item|user) directly).
+    score_norm: str = "cosine"
 
     def __post_init__(self):
         object.__setattr__(self, "topk", tuple(self.topk))
+        if self.score_norm not in ("cosine", "dot"):
+            raise ValueError(f"score_norm must be cosine|dot, got {self.score_norm!r}")
 
 
 @dataclass(frozen=True)

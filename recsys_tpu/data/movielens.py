@@ -70,6 +70,41 @@ def load_movielens_data(
     return {"ratings": ratings, "movies": movies, "users": users}
 
 
+AFFINITY_WEIGHT = 3.0
+POPULARITY_WEIGHT = 1.0
+
+
+def latent_preference_model(
+    user_ids: np.ndarray,
+    movie_ids: np.ndarray,
+    movie_genres: np.ndarray,
+    seed: int = 1,
+    latent_dim: int = 24,
+):
+    """The generator's ground-truth preference model: returns
+    ``(U, V, log_pop, scale)`` such that a user's choice logits over the
+    catalog are ``AFFINITY_WEIGHT*scale*(U[u] @ V.T) +
+    POPULARITY_WEIGHT*log_pop``. Exposed so ``benchmarks/oracle.py`` can
+    compute the *oracle ceiling* — the recall an ideal model would get —
+    which is what trained-model quality is reported against."""
+    rng = np.random.default_rng(seed)
+    n_users, n_items = len(user_ids), len(movie_ids)
+    gidx = {g: i for i, g in enumerate(GENRES)}
+    genre_mh = np.zeros((n_items, len(GENRES)), np.float32)
+    for r, gs in enumerate(movie_genres):
+        for g in str(gs).split("|"):
+            if g in gidx:
+                genre_mh[r, gidx[g]] = 1.0
+    genre_mh /= np.maximum(genre_mh.sum(1, keepdims=True), 1.0)
+
+    U = rng.normal(0, 1, (n_users, latent_dim)).astype(np.float32)
+    V = rng.normal(0, 1, (n_items, latent_dim)).astype(np.float32)
+    G = rng.normal(0, 1, (len(GENRES), latent_dim)).astype(np.float32)
+    V = 0.7 * V + 0.9 * (genre_mh @ G)  # genre-structured item factors
+    pop = rng.lognormal(0.0, 1.1, n_items).astype(np.float32)
+    return U, V, np.log(pop), 1.0 / np.sqrt(latent_dim), rng, genre_mh
+
+
 def synthesize_ratings(
     user_ids: np.ndarray,
     movie_ids: np.ndarray,
@@ -88,24 +123,10 @@ def synthesize_ratings(
     from the standardized affinity + noise, timestamps increasing per
     user inside the ML-1M window (2000-04 .. 2003-02).
     """
-    rng = np.random.default_rng(seed)
+    U, V, log_pop, lat_scale, rng, _ = latent_preference_model(
+        user_ids, movie_ids, movie_genres, seed, latent_dim
+    )
     n_users, n_items = len(user_ids), len(movie_ids)
-
-    # genre multi-hot for items
-    gidx = {g: i for i, g in enumerate(GENRES)}
-    genre_mh = np.zeros((n_items, len(GENRES)), np.float32)
-    for r, gs in enumerate(movie_genres):
-        for g in str(gs).split("|"):
-            if g in gidx:
-                genre_mh[r, gidx[g]] = 1.0
-    genre_mh /= np.maximum(genre_mh.sum(1, keepdims=True), 1.0)
-
-    U = rng.normal(0, 1, (n_users, latent_dim)).astype(np.float32)
-    V = rng.normal(0, 1, (n_items, latent_dim)).astype(np.float32)
-    G = rng.normal(0, 1, (len(GENRES), latent_dim)).astype(np.float32)
-    V = 0.7 * V + 0.9 * (genre_mh @ G)  # genre-structured item factors
-    pop = rng.lognormal(0.0, 1.1, n_items).astype(np.float32)
-    log_pop = np.log(pop)
 
     # power-law activity, min 20, scaled to ~n_ratings total
     act = np.maximum(rng.pareto(1.3, n_users) * 25, 20.0)
@@ -116,11 +137,15 @@ def synthesize_ratings(
     user_start = rng.integers(t0, t1 - 40_000_000, n_users)
 
     rows_u, rows_m, rows_r, rows_t = [], [], [], []
-    scale = 1.0 / np.sqrt(latent_dim)
+    scale = lat_scale
     for u0 in range(0, n_users, 512):
         u1 = min(u0 + 512, n_users)
         aff = (U[u0:u1] @ V.T) * scale  # [b, n_items]
-        logits = 1.2 * aff + 0.8 * log_pop[None, :]
+        # sharpness calibrated for ML-1M-like difficulty; NOTE:
+        # without-replacement sampling means an UNMASKED oracle is
+        # near-random — evaluation should filter seen items
+        # (EvalConfig.filter_seen) for meaningful retrieval numbers
+        logits = AFFINITY_WEIGHT * aff + POPULARITY_WEIGHT * log_pop[None, :]
         gumbel = rng.gumbel(0, 1, logits.shape).astype(np.float32)
         order = np.argsort(-(logits + gumbel), axis=1)
         for i in range(u1 - u0):

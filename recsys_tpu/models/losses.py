@@ -26,6 +26,7 @@ def in_batch_softmax(
     axis_name: Optional[str] = None,
     mask: Optional[jnp.ndarray] = None,
     log_q: Optional[jnp.ndarray] = None,
+    item_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """In-batch sampled-softmax retrieval loss.
 
@@ -48,7 +49,9 @@ def in_batch_softmax(
     """
     b = user_emb.shape[0]
     if axis_name is None:
-        candidates, cand_ids, cand_logq, diag = item_emb, item_ids, log_q, jnp.arange(b)
+        candidates, cand_ids, cand_logq, cand_bias, diag = (
+            item_emb, item_ids, log_q, item_bias, jnp.arange(b)
+        )
     else:
         candidates = lax.all_gather(item_emb, axis_name, axis=0, tiled=True)
         cand_ids = (
@@ -59,8 +62,14 @@ def in_batch_softmax(
             lax.all_gather(log_q, axis_name, axis=0, tiled=True)
             if log_q is not None else None
         )
+        cand_bias = (
+            lax.all_gather(item_bias, axis_name, axis=0, tiled=True)
+            if item_bias is not None else None
+        )
         diag = jnp.arange(b) + lax.axis_index(axis_name) * b
     logits = jnp.dot(user_emb, candidates.T, preferred_element_type=jnp.float32)
+    if cand_bias is not None:
+        logits = logits + cand_bias[None, :]
     if cand_logq is not None:
         logits = logits - cand_logq[None, :]
     labels = jax.nn.one_hot(diag, logits.shape[1], dtype=jnp.float32)

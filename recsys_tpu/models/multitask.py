@@ -93,6 +93,11 @@ class MultiTaskModel:
             params, cfg, batch["user_id"], batch["movie_id"], train=train, key=key
         )
         mask = batch.get("mask")
+        n_bias = params["towers"]["item_bias"].shape[0] - 1
+        bias = jnp.take(
+            params["towers"]["item_bias"],
+            jnp.clip(batch["movie_id"], 0, n_bias),
+        )
         retr = losses.in_batch_softmax(
             out.user_embedding,
             out.item_embedding,
@@ -100,6 +105,7 @@ class MultiTaskModel:
             axis_name=data_axis if global_negatives else None,
             mask=mask,
             log_q=batch.get("log_q"),
+            item_bias=bias,
         )
         if neg_item_ids is not None:
             neg_emb = TwoTower.item_embed(

@@ -52,6 +52,13 @@ class TwoTower:
             "item_table": jax.random.normal(k_it, (rows(n_items), d)) * scale,
             "user_tower": L.init_mlp(k_um, [d, *cfg.user_tower_dims, d]),
             "item_tower": L.init_mlp(k_im, [d, *cfg.item_tower_dims, d]),
+            # learnable per-item softmax bias. The trainer initializes it
+            # to the item's log train frequency so that the logQ-corrected
+            # in-batch softmax starts balanced (without this, the model
+            # must first spend its capacity learning -log q_j offsets of
+            # ~9 nats through near-zero dot products and retrieval never
+            # takes off — observed, not hypothetical).
+            "item_bias": jnp.zeros((rows(n_items),), jnp.float32),
         }
 
     @staticmethod
@@ -75,8 +82,10 @@ class TwoTower:
             train=train,
             key=key,
             compute_dtype=dtype,
-        )
-        return out.astype(jnp.float32)
+        ).astype(jnp.float32)
+        if cfg.tower_residual:
+            out = out + rows
+        return out
 
     @staticmethod
     def user_embed(params, user_ids, cfg, train=False, key=None) -> jnp.ndarray:

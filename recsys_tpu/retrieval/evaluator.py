@@ -30,6 +30,22 @@ def _user_embs(params, cfg: ModelConfig, ids):
     return TwoTower.user_embed(params, ids, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "normalize"))
+def _topk_masked(user_emb, item_embs, seen_mask, user_ids, k: int,
+                 normalize: bool = True, item_bias=None):
+    from recsys_tpu.retrieval.scorer import l2_normalize
+
+    u, v = user_emb, item_embs
+    if normalize:
+        u = l2_normalize(u)
+        v = l2_normalize(v)
+    scores = jnp.dot(u, v.T, preferred_element_type=jnp.float32)
+    if item_bias is not None:
+        scores = scores + item_bias[None, :]
+    scores = jnp.where(seen_mask[user_ids], -1e30, scores)
+    return jax.lax.top_k(scores, k)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _heads(params, cfg: ModelConfig, uid, mid):
     out = MultiTaskModel.apply(params, cfg, uid, mid)
@@ -57,7 +73,25 @@ def evaluate(
         )
         uid, mid, rating, y = uid[idx], mid[idx], rating[idx], y[idx]
 
+    # seen-item mask: with temporal holdout the user's next item is by
+    # construction not among their train interactions, so scoring seen
+    # items against the truth just measures re-recommendation noise.
+    # The reference never filters (parity default False, SURVEY §3.4);
+    # filter_seen=True is the standard-practice mode.
+    seen_mask = None
+    if eval_cfg.filter_seen:
+        n_users = int(bundle["meta/n_users"])
+        seen = np.zeros((n_users, n_items), bool)
+        seen[bundle["train/user_id"], bundle["train/movie_id"]] = True
+        seen_mask = jnp.asarray(seen)
+
     item_embs = materialize_item_embeddings(params["towers"], cfg, n_items)
+    use_cosine = eval_cfg.score_norm == "cosine"
+    item_bias = None
+    if not use_cosine and "item_bias" in params["towers"]:
+        item_bias = jnp.asarray(
+            np.asarray(params["towers"]["item_bias"])[:n_items]
+        )
     max_k = max(eval_cfg.topk)
 
     bs = eval_cfg.eval_batch_size
@@ -70,7 +104,16 @@ def evaluate(
         u_ids = np.concatenate([uid[lo:hi], np.zeros(pad, uid.dtype)])
         m_ids = np.concatenate([mid[lo:hi], np.zeros(pad, mid.dtype)])
         u_emb = _user_embs(params["towers"], cfg, jnp.asarray(u_ids))
-        _, top_ids = topk_scores(u_emb, item_embs, max_k, normalize=True)
+        if seen_mask is None:
+            _, top_ids = topk_scores(
+                u_emb, item_embs, max_k, normalize=use_cosine,
+                item_bias=item_bias,
+            )
+        else:
+            _, top_ids = _topk_masked(
+                u_emb, item_embs, seen_mask, jnp.asarray(u_ids), max_k,
+                normalize=use_cosine, item_bias=item_bias,
+            )
         r_pred, c_pred = _heads(params, cfg, jnp.asarray(u_ids), jnp.asarray(m_ids))
         preds_list.append(np.asarray(top_ids)[: hi - lo])
         rat_list.append(np.asarray(r_pred)[: hi - lo])
@@ -84,7 +127,31 @@ def evaluate(
     c_pred = np.concatenate(ctr_list)
     report["rating_rmse"] = float(np.sqrt(np.mean((r_pred - rating) ** 2)))
     if 0 < y.sum() < len(y):
-        report["ctr_auc"] = float(
-            losses.auc(jnp.asarray(c_pred), jnp.asarray(y))
-        )
+        report["ctr_auc"] = _auc_host(c_pred, y)
     return report
+
+
+def _auc_host(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Rank-sum ROC-AUC in float64 with midrank tie handling. (The
+    jittable ``losses.auc`` is float32 and loses precision past ~50k
+    rows — offline eval uses this host version.)"""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels) >= 0.5
+    order = np.argsort(scores)
+    ranks = np.empty(len(scores), np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # midranks for ties
+    sorted_s = scores[order]
+    i = 0
+    while i < len(sorted_s):
+        j = i
+        while j + 1 < len(sorted_s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        if j > i:
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n_pos = labels.sum()
+    n_neg = len(labels) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    return float((ranks[labels].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))

@@ -64,12 +64,19 @@ def topk_scores(
     item_emb: jnp.ndarray,
     k: int,
     normalize: bool = True,
+    item_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense scoring + top-k on one device. [Q,d]x[N,d] -> ([Q,k], [Q,k])."""
+    """Dense scoring + top-k on one device. [Q,d]x[N,d] -> ([Q,k], [Q,k]).
+
+    ``normalize=True`` is the reference's cosine contract; with
+    ``normalize=False`` + ``item_bias`` the score is the logQ-trained
+    estimate of log P(item|user) (EvalConfig.score_norm="dot")."""
     if normalize:
         user_emb = l2_normalize(user_emb)
         item_emb = l2_normalize(item_emb)
     scores = jnp.dot(user_emb, item_emb.T, preferred_element_type=jnp.float32)
+    if item_bias is not None:
+        scores = scores + item_bias[None, :]
     return jax.lax.top_k(scores, k)
 
 

@@ -23,6 +23,7 @@ Capability parity with ``src/trainer.py:37-193`` redesigned TPU-first:
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from functools import partial
@@ -47,6 +48,21 @@ from recsys_tpu.train.optimizer import make_optimizer
 from recsys_tpu.utils.metrics_io import MetricWriter
 
 logger = logging.getLogger(__name__)
+
+
+def _prefetch(iterator, place, depth: int = 2):
+    """Device-prefetching iterator: keeps ``depth`` batches in flight so
+    host->device transfer overlaps the compiled step (the tf.data
+    ``prefetch(AUTOTUNE)`` analogue, ``src/trainer.py:117``)."""
+    import collections
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(place(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
 
 
 class TrainState(NamedTuple):
@@ -164,6 +180,102 @@ class Trainer:
             donate_argnums=donate,
         )
 
+    def _step_core(self, class_weights, use_explicit_negs: bool):
+        cfg = self.config
+        opt = self.optimizer
+
+        def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
+            rng = jax.random.fold_in(state.rng, state.step)
+            neg_ids = batch.pop("neg_ids") if use_explicit_negs else None
+            (loss, metrics), grads = jax.value_and_grad(
+                MultiTaskModel.loss, has_aux=True
+            )(
+                state.params,
+                cfg.model,
+                batch,
+                key=rng,
+                train=True,
+                class_weights=class_weights,
+                neg_item_ids=neg_ids,
+            )
+            new_params, new_opt = opt.update(
+                grads, state.opt_state, state.params, state.step
+            )
+            return TrainState(new_params, new_opt, state.step + 1, state.rng), metrics
+
+        return step_fn
+
+    # ---- device-resident epoch (one compiled call per epoch) ---------
+    def make_train_epoch(self, class_weights, n_rows: int, n_steps: int):
+        """Whole-epoch compiled function over device-resident data:
+        on-device shuffle (jax.random.permutation) + per-step gather +
+        train step, all inside one lax.scan — zero host->device traffic
+        per step (the TPU-native answer to tf.data, SURVEY §7.1.5)."""
+        cfg = self.config
+        b = cfg.train.batch_size
+        ctx = self.ctx
+        step_fn = self._step_core(class_weights, use_explicit_negs=False)
+        shape = jax.eval_shape(lambda s: s, self._state_for_shape)
+        state_sh = self.state_shardings(shape)
+        batch_spec = NamedSharding(ctx.mesh, P(ctx.data_axis))
+        perm_key = jax.random.PRNGKey(cfg.train.seed ^ 0x5EED)
+
+        def epoch_fn(state: TrainState, data: Dict, epoch_idx) -> tuple:
+            perm = jax.random.permutation(
+                jax.random.fold_in(perm_key, epoch_idx), n_rows
+            )
+
+            def body(s, step_idx):
+                idx = jax.lax.dynamic_slice_in_dim(perm, step_idx * b, b)
+                batch = {
+                    k: jax.lax.with_sharding_constraint(
+                        jnp.take(v, idx, axis=0), batch_spec
+                    )
+                    for k, v in data.items()
+                }
+                return step_fn(s, batch)
+
+            state, ms = jax.lax.scan(body, state, jnp.arange(n_steps))
+            return state, jax.tree.map(jnp.mean, ms)
+
+        donate = (0,) if cfg.train.donate_state else ()
+        rep = NamedSharding(ctx.mesh, P())
+        return jax.jit(
+            epoch_fn,
+            in_shardings=(state_sh, None, None),
+            out_shardings=(state_sh, rep),
+            donate_argnums=donate,
+        )
+
+    def make_val_epoch(self, class_weights, n_steps: int):
+        """Whole-val-split compiled loss pass (mask-weighted means)."""
+        cfg = self.config
+        b = cfg.train.batch_size
+
+        def val_fn(params, data: Dict) -> Dict:
+            def body(carry, step_idx):
+                batch = {
+                    k: jax.lax.dynamic_slice_in_dim(v, step_idx * b, b)
+                    for k, v in data.items()
+                }
+                _, metrics = MultiTaskModel.loss(
+                    params, cfg.model, batch, train=False,
+                    class_weights=class_weights,
+                )
+                w = jnp.sum(batch.get("mask", jnp.ones(b)))
+                sums, wsum = carry
+                sums = jax.tree.map(lambda a, m: a + m * w, sums, metrics)
+                return (sums, wsum + w), None
+
+            zero = {k: jnp.float32(0.0) for k in
+                    ("loss", "retrieval_loss", "rating_mse", "ctr_bce", "l2")}
+            (sums, wsum), _ = jax.lax.scan(
+                body, (zero, jnp.float32(0.0)), jnp.arange(n_steps)
+            )
+            return jax.tree.map(lambda a: a / jnp.maximum(wsum, 1.0), sums)
+
+        return jax.jit(val_fn)
+
     def make_eval_step(self, class_weights, example_batch):
         cfg = self.config
         batch_sh = self.batch_sharding_tree(example_batch)
@@ -231,6 +343,19 @@ class Trainer:
         )
 
         state = self.init_state(n_users, n_items, t_cfg.seed)
+        # initialize the learnable item softmax bias to log train
+        # frequency so the logQ-corrected softmax starts balanced (see
+        # models/towers.py item_bias note)
+        if log_q_table is not None:
+            bias_rows = state.params["towers"]["item_bias"].shape[0]
+            bias0 = np.full(bias_rows, float(log_q_table.min()), np.float32)
+            bias0[:n_items] = log_q_table
+            new_bias = jax.device_put(
+                bias0, state.params["towers"]["item_bias"].sharding
+            )
+            params = dict(state.params)
+            params["towers"] = {**params["towers"], "item_bias": new_bias}
+            state = state._replace(params=params)
         self._state_for_shape = state
         start_epoch = 0
         if t_cfg.resume:
@@ -242,12 +367,62 @@ class Trainer:
                 start_epoch = int(np.asarray(state.step)) // max(train_batcher.steps_per_epoch, 1)
                 logger.info("resumed from checkpoint step %d (epoch %d)", step_idx, start_epoch)
 
-        example = _augment(next(iter(train_batcher.epoch(0))))
-        if sampler is not None:
-            example = {**example, "neg_ids": sampler.sample_batch(example["user_id"])}
-        train_step = self.make_train_step(class_weights, example, sampler is not None)
-        eval_example = _augment(next(iter(val_batcher.epoch(0))))
-        eval_step = self.make_eval_step(class_weights, eval_example)
+        # ---- choose data path: device-resident (one compiled call per
+        # epoch, zero per-step host traffic) vs streaming ------------
+        train_cols = {c: bundle[f"train/{c}"] for c in
+                      ("user_id", "movie_id", "rating", "y_implicit")}
+        if log_q_table is not None:
+            train_cols["log_q"] = log_q_table[train_cols["movie_id"]]
+        data_bytes = sum(v.nbytes for v in train_cols.values())
+        device_resident = (
+            t_cfg.device_resident_data
+            and sampler is None
+            and data_bytes <= t_cfg.device_data_limit_mb * 1024 * 1024
+        )
+
+        train_epoch = val_epoch = train_step = eval_step = None
+        if device_resident:
+            n_rows = len(train_cols["user_id"])
+            n_steps_epoch = n_rows // t_cfg.batch_size
+            train_data = {k: jnp.asarray(v) for k, v in train_cols.items()}
+            # padded, masked val split on device
+            n_val = len(bundle["val/user_id"])
+            val_steps = max(-(-n_val // t_cfg.batch_size), 1)
+            pad = val_steps * t_cfg.batch_size - n_val
+            def _padcol(c):
+                v = bundle[f"val/{c}"]
+                return jnp.asarray(np.pad(v, (0, pad)))
+            val_data = {c: _padcol(c) for c in
+                        ("user_id", "movie_id", "rating", "y_implicit")}
+            if log_q_table is not None:
+                val_data["log_q"] = jnp.asarray(
+                    log_q_table[np.asarray(val_data["movie_id"])]
+                )
+            val_data["mask"] = jnp.asarray(
+                np.pad(np.ones(n_val, np.float32), (0, pad))
+            )
+            train_epoch = self.make_train_epoch(class_weights, n_rows, n_steps_epoch)
+            val_epoch = self.make_val_epoch(class_weights, val_steps)
+            logger.info(
+                "device-resident data path: %d train rows (%.1f MB), "
+                "%d steps/epoch in one compiled call",
+                n_rows, data_bytes / 1e6, n_steps_epoch,
+            )
+        else:
+            example = _augment(next(iter(train_batcher.epoch(0))))
+            if sampler is not None:
+                example = {**example, "neg_ids": sampler.sample_batch(example["user_id"])}
+            train_step = self.make_train_step(class_weights, example, sampler is not None)
+            eval_example = _augment(next(iter(val_batcher.epoch(0))))
+            eval_step = self.make_eval_step(class_weights, eval_example)
+
+        if t_cfg.profile and jax.process_index() == 0:
+            from jax import profiler as _profiler
+
+            _profiler.start_trace(f"{self.output_dir}/profile")
+            self._profiling = True
+        else:
+            self._profiling = False
 
         best_val = float("inf")
         best_params_host = None
@@ -260,58 +435,97 @@ class Trainer:
         for epoch in range(start_epoch, t_cfg.epochs):
             final_epoch = epoch
             self.writer.start_epoch()
-            agg: Dict[str, float] = {}
-            n_steps = 0
             t0 = time.time()
-            for batch in train_batcher.epoch(epoch):
-                batch = _augment(batch)
-                if sampler is not None:
-                    batch = {**batch, "neg_ids": sampler.sample_batch(batch["user_id"])}
-                placed = shard_batch(self.ctx, batch)
-                state, metrics = train_step(state, placed)
-                n_steps += 1
-                if n_steps % t_cfg.log_every_steps == 0 or n_steps == 1:
-                    m = jax.device_get(metrics)
-                    for k, v in m.items():
-                        agg[k] = agg.get(k, 0.0) + float(v)
-                    agg["_agg_count"] = agg.get("_agg_count", 0) + 1
-            jax.block_until_ready(state.params)
+            if device_resident:
+                state, tmetrics = train_epoch(
+                    state, train_data, jnp.int32(epoch)
+                )
+                jax.block_until_ready(state.params)
+                n_steps = n_steps_epoch
+                logs = {f"train_{k}": float(v)
+                        for k, v in jax.device_get(tmetrics).items()}
+            else:
+                agg: Dict[str, float] = {}
+                n_steps = 0
+
+                def _prepare(batch):
+                    batch = _augment(batch)
+                    if sampler is not None:
+                        batch = {**batch, "neg_ids": sampler.sample_batch(batch["user_id"])}
+                    return shard_batch(self.ctx, batch)
+
+                for placed in _prefetch(train_batcher.epoch(epoch), _prepare):
+                    state, metrics = train_step(state, placed)
+                    n_steps += 1
+                    if n_steps % t_cfg.log_every_steps == 0 or n_steps == 1:
+                        m = jax.device_get(metrics)
+                        for k, v in m.items():
+                            agg[k] = agg.get(k, 0.0) + float(v)
+                        agg["_agg_count"] = agg.get("_agg_count", 0) + 1
+                jax.block_until_ready(state.params)
+                count = max(agg.pop("_agg_count", 1), 1)
+                logs = {f"train_{k}": v / count for k, v in agg.items()}
+            if self._profiling:
+                from jax import profiler as _profiler
+
+                _profiler.stop_trace()
+                self._profiling = False
+                logger.info("profiler trace -> %s/profile", self.output_dir)
             epoch_time = time.time() - t0
             steps_total += n_steps
             examples_total += n_steps * t_cfg.batch_size
-
-            count = max(agg.pop("_agg_count", 1), 1)
-            logs = {f"train_{k}": v / count for k, v in agg.items()}
             logs["examples_per_s"] = n_steps * t_cfg.batch_size / max(epoch_time, 1e-9)
 
             # validation loss (for early stopping, parity with val_loss monitor)
-            v_agg: Dict[str, float] = {}
-            v_steps = 0
-            for batch in val_batcher.epoch(0):
-                placed = shard_batch(self.ctx, _augment(batch))
-                m = jax.device_get(eval_step(state.params, placed))
-                for k, v in m.items():
-                    v_agg[k] = v_agg.get(k, 0.0) + float(v)
-                v_steps += 1
-            logs.update({f"val_{k}": v / max(v_steps, 1) for k, v in v_agg.items()})
+            if device_resident:
+                vm = jax.device_get(val_epoch(state.params, val_data))
+                logs.update({f"val_{k}": float(v) for k, v in vm.items()})
+            else:
+                v_agg: Dict[str, float] = {}
+                v_steps = 0
+                for batch in val_batcher.epoch(0):
+                    placed = shard_batch(self.ctx, _augment(batch))
+                    m = jax.device_get(eval_step(state.params, placed))
+                    for k, v in m.items():
+                        v_agg[k] = v_agg.get(k, 0.0) + float(v)
+                    v_steps += 1
+                logs.update({f"val_{k}": v / max(v_steps, 1) for k, v in v_agg.items()})
+
+            # periodic sampled retrieval eval (recall-based early stopping)
+            if t_cfg.eval_every_epochs and (epoch + 1) % t_cfg.eval_every_epochs == 0:
+                sample_cfg = dataclasses.replace(
+                    cfg.eval,
+                    eval_sample=cfg.eval.eval_sample or 20_000,
+                    topk=(10,),
+                )
+                quick = evaluate(
+                    jax.device_get(state.params), cfg.model, bundle, "val",
+                    sample_cfg, seed=t_cfg.seed,
+                )
+                logs["val_recall@10"] = quick["recall@10"]
 
             entry = self.writer.end_epoch(epoch, logs)
-            val_loss = logs.get("val_loss", float("inf"))
+            monitor = t_cfg.early_stop_metric
+            sign = -1.0 if "recall" in monitor or "auc" in monitor else 1.0
+            value = logs.get(monitor)
+            if value is None:
+                value = logs.get("val_loss", float("inf"))
+            score = sign * value  # lower is better
 
-            is_best = val_loss < best_val
+            is_best = score < best_val
             if is_best:
-                best_val = val_loss
+                best_val = score
                 best_params_host = jax.device_get(state.params)
                 patience = 0
             else:
                 patience += 1
             self.ckpt.save(
                 int(np.asarray(state.step)), state._asdict(),
-                metrics={"val_loss": val_loss}, is_best=is_best,
+                metrics={monitor: value}, is_best=is_best,
             )
             if patience >= t_cfg.early_stop_patience:
-                logger.info("early stopping at epoch %d (best val_loss %.4f)",
-                            epoch, best_val)
+                logger.info("early stopping at epoch %d (best %s %.4f)",
+                            epoch, monitor, sign * best_val)
                 break
 
         # restore best weights (EarlyStopping(restore_best_weights=True) parity)

@@ -31,14 +31,15 @@ TINY_MODEL = ModelConfig(
 
 def _cfg(**train_kw):
     kw = dict(
-        batch_size=256, epochs=8, learning_rate=0.3,
-        log_every_steps=1, early_stop_patience=20,
+        batch_size=256, epochs=8, learning_rate=5e-3, optimizer="adam",
+        lr_decay_steps=10000, log_every_steps=1, early_stop_patience=20,
     )
     kw.update(train_kw)
     return RecsysConfig(
         model=TINY_MODEL,
         train=TrainConfig(**kw),
-        eval=EvalConfig(topk=(5, 10), eval_batch_size=256),
+        eval=EvalConfig(topk=(5, 10), eval_batch_size=256,
+                        filter_seen=True, score_norm="dot"),
     )
 
 
