@@ -23,18 +23,18 @@ import numpy as np
 
 CONFIGS = {
     # BASELINE.json configs[0]: two-tower retrieval, dim 32, batch 512
-    "c0": dict(embedding_dim=32, batch_size=512, epochs=3, cross_layers=1,
-               negative_sampling="random", lr=0.05),
+    "c0": dict(embedding_dim=32, batch_size=512, epochs=6, cross_layers=1,
+               negative_sampling="random", lr=5e-3),
     # configs[1]: dim 128, batch 4096, mixed negatives, full eval
-    "c1": dict(embedding_dim=128, batch_size=4096, epochs=8, cross_layers=3,
-               negative_sampling="mixed", lr=0.05),
+    "c1": dict(embedding_dim=128, batch_size=4096, epochs=30, cross_layers=3,
+               negative_sampling="mixed", lr=5e-3),
     # configs[2]: DCN ranking focus (3 cross layers, multi-task weights)
-    "c2": dict(embedding_dim=64, batch_size=2048, epochs=6, cross_layers=3,
-               negative_sampling="random", lr=0.05, ctr_weight=2.0,
+    "c2": dict(embedding_dim=64, batch_size=2048, epochs=15, cross_layers=3,
+               negative_sampling="random", lr=5e-3, ctr_weight=2.0,
                rating_weight=0.2),
     # configs[3]: full two-stage pipeline (retrieval -> topk -> rerank eval)
-    "c3": dict(embedding_dim=128, batch_size=4096, epochs=8, cross_layers=3,
-               negative_sampling="random", lr=0.05, two_stage_eval=True),
+    "c3": dict(embedding_dim=128, batch_size=4096, epochs=30, cross_layers=3,
+               negative_sampling="random", lr=5e-3, two_stage_eval=True),
 }
 
 
@@ -57,8 +57,12 @@ def run_one(name: str, spec: dict, bundle) -> dict:
         data=DataConfig(negative_sampling=spec["negative_sampling"],
                         num_hard_negatives=4, num_random_negatives=8),
         train=TrainConfig(batch_size=spec["batch_size"], epochs=spec["epochs"],
-                          learning_rate=spec["lr"], early_stop_patience=20),
-        eval=EvalConfig(topk=(5, 10, 20, 50), eval_batch_size=8192),
+                          learning_rate=spec["lr"], optimizer="adam",
+                          lr_decay_steps=100_000, early_stop_patience=6,
+                          early_stop_metric="val_recall@10",
+                          eval_every_epochs=3, keep_checkpoints=1),
+        eval=EvalConfig(topk=(5, 10, 20, 50), eval_batch_size=8192,
+                        filter_seen=True, score_norm="dot"),
     )
     out_dir = f"outputs/bench_quality/{name}"
     t0 = time.time()

@@ -80,5 +80,36 @@ class NegativeSampler:
         return out[:k].astype(np.int32)
 
     def sample_batch(self, user_ids: np.ndarray) -> np.ndarray:
-        """[B] -> [B, n_negatives] int32 (static shape for jit)."""
-        return np.stack([self.sample_negatives(u) for u in user_ids])
+        """[B] -> [B, n_negatives] int32 (static shape for jit).
+
+        Vectorized: hard negatives come from a per-user cache built on
+        first use (top-popular unseen, computed once); random negatives
+        are uniform draws WITHOUT a seen-filter — with ML-1M sparsity a
+        draw collides with a seen item <5% of the time, and accidental
+        positives in sampled softmax are standard practice (the strict
+        per-user path remains available via ``sample_negatives``)."""
+        b = len(user_ids)
+        parts = []
+        if self.strategy in ("hard", "mixed"):
+            n_h = self.num_hard if self.strategy == "mixed" else self.n_negatives()
+            if not hasattr(self, "_hard_cache"):
+                self._build_hard_cache()
+            parts.append(self._hard_cache[user_ids][:, :n_h])
+        if self.strategy in ("random", "mixed"):
+            n_r = self.num_random if self.strategy == "mixed" else self.n_negatives()
+            parts.append(
+                self.rng.integers(0, self.n_items, (b, n_r)).astype(np.int32)
+            )
+        return np.concatenate(parts, axis=1)
+
+    def _build_hard_cache(self) -> None:
+        """Per-user top-popular-unseen negatives, one pass over users."""
+        n_h = max(self.num_hard, 1)
+        max_u = max(self.user_seen.keys(), default=0)
+        cache = np.tile(self._pop_order[:n_h].astype(np.int32), (max_u + 1, 1))
+        head = self._pop_order[: n_h * 8]
+        for u, seen in self.user_seen.items():
+            pool = head[~np.isin(head, seen)][:n_h]
+            if len(pool) == n_h:
+                cache[u] = pool
+        self._hard_cache = cache

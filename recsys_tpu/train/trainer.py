@@ -206,7 +206,8 @@ class Trainer:
         return step_fn
 
     # ---- device-resident epoch (one compiled call per epoch) ---------
-    def make_train_epoch(self, class_weights, n_rows: int, n_steps: int):
+    def make_train_epoch(self, class_weights, n_rows: int, n_steps: int,
+                         use_explicit_negs: bool = False):
         """Whole-epoch compiled function over device-resident data:
         on-device shuffle (jax.random.permutation) + per-step gather +
         train step, all inside one lax.scan — zero host->device traffic
@@ -214,10 +215,13 @@ class Trainer:
         cfg = self.config
         b = cfg.train.batch_size
         ctx = self.ctx
-        step_fn = self._step_core(class_weights, use_explicit_negs=False)
+        step_fn = self._step_core(class_weights, use_explicit_negs)
         shape = jax.eval_shape(lambda s: s, self._state_for_shape)
         state_sh = self.state_shardings(shape)
-        batch_spec = NamedSharding(ctx.mesh, P(ctx.data_axis))
+        def _bspec(v):
+            return NamedSharding(
+                ctx.mesh, P(ctx.data_axis, *([None] * (v.ndim - 1)))
+            )
         perm_key = jax.random.PRNGKey(cfg.train.seed ^ 0x5EED)
 
         def epoch_fn(state: TrainState, data: Dict, epoch_idx) -> tuple:
@@ -229,7 +233,7 @@ class Trainer:
                 idx = jax.lax.dynamic_slice_in_dim(perm, step_idx * b, b)
                 batch = {
                     k: jax.lax.with_sharding_constraint(
-                        jnp.take(v, idx, axis=0), batch_spec
+                        jnp.take(v, idx, axis=0), _bspec(v)
                     )
                     for k, v in data.items()
                 }
@@ -374,10 +378,12 @@ class Trainer:
         if log_q_table is not None:
             train_cols["log_q"] = log_q_table[train_cols["movie_id"]]
         data_bytes = sum(v.nbytes for v in train_cols.values())
+        neg_bytes = 0
+        if sampler is not None:
+            neg_bytes = 4 * sampler.n_negatives() * len(train_cols["user_id"])
         device_resident = (
             t_cfg.device_resident_data
-            and sampler is None
-            and data_bytes <= t_cfg.device_data_limit_mb * 1024 * 1024
+            and data_bytes + neg_bytes <= t_cfg.device_data_limit_mb * 1024 * 1024
         )
 
         train_epoch = val_epoch = train_step = eval_step = None
@@ -401,7 +407,10 @@ class Trainer:
             val_data["mask"] = jnp.asarray(
                 np.pad(np.ones(n_val, np.float32), (0, pad))
             )
-            train_epoch = self.make_train_epoch(class_weights, n_rows, n_steps_epoch)
+            train_epoch = self.make_train_epoch(
+                class_weights, n_rows, n_steps_epoch,
+                use_explicit_negs=sampler is not None,
+            )
             val_epoch = self.make_val_epoch(class_weights, val_steps)
             logger.info(
                 "device-resident data path: %d train rows (%.1f MB), "
@@ -437,6 +446,15 @@ class Trainer:
             self.writer.start_epoch()
             t0 = time.time()
             if device_resident:
+                if sampler is not None:
+                    # fresh explicit negatives each epoch, sampled
+                    # vectorized on host, shipped once per epoch
+                    train_data = {
+                        **train_data,
+                        "neg_ids": jnp.asarray(
+                            sampler.sample_batch(train_cols["user_id"])
+                        ),
+                    }
                 state, tmetrics = train_epoch(
                     state, train_data, jnp.int32(epoch)
                 )
