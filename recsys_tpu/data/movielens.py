@@ -53,8 +53,12 @@ def load_movielens_data(
     ratings_path = os.path.join(data_dir, "ratings.dat")
     real = os.path.exists(ratings_path) and os.path.getsize(ratings_path) > 1_000_000
     if real:
-        ratings = _read_dat(
-            ratings_path, ["user_id", "movie_id", "rating", "timestamp"], "utf-8"
+        # native C++ parser on the 1M-row hot path (pandas fallback inside)
+        from recsys_tpu.utils.native import parse_ratings_dat
+
+        u, m, r, t = parse_ratings_dat(ratings_path)
+        ratings = pd.DataFrame(
+            {"user_id": u, "movie_id": m, "rating": r, "timestamp": t}
         )
         logger.info("loaded real ratings.dat: %d rows", len(ratings))
     else:

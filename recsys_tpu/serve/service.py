@@ -40,7 +40,14 @@ logger = logging.getLogger(__name__)
 
 
 class RecommendationService:
-    def __init__(self, model_dir: str):
+    """``backend``: "device" (jitted on-device scorer — the TPU path),
+    "native" (C++ multithreaded exact top-k, the CPU-host fallback in
+    the FAISS role), or "auto" (native when no accelerator is present)."""
+
+    def __init__(self, model_dir: str, backend: str = "auto"):
+        if backend not in ("auto", "device", "native"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         self.model_dir = model_dir
         self.config: Optional[RecsysConfig] = None
         self.encoder_params = None
@@ -72,6 +79,31 @@ class RecommendationService:
     def is_ready(self) -> bool:
         return self._ready
 
+    def _resolved_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        import jax
+
+        from recsys_tpu.utils.native import native_available
+
+        if jax.devices()[0].platform == "cpu" and native_available():
+            return "native"
+        return "device"
+
+    def _search(self, u_emb, k: int):
+        """Cosine top-k via the resolved backend."""
+        if self._resolved_backend() == "native":
+            from recsys_tpu.retrieval.scorer import l2_normalize
+            from recsys_tpu.utils.native import topk_dot
+
+            if not hasattr(self, "_items_norm"):
+                self._items_norm = np.asarray(
+                    l2_normalize(self.index.item_embeddings), np.float32
+                )
+            q = np.asarray(l2_normalize(u_emb), np.float32)
+            return topk_dot(q, self._items_norm, k)
+        return self.index.search(u_emb, k)
+
     # ---- core ops --------------------------------------------------
     def _user_embedding(self, dense_uid: int) -> jnp.ndarray:
         return TwoTower.user_embed(
@@ -87,7 +119,7 @@ class RecommendationService:
         if dense is None:
             return self._popular_items(k)
         u = self._user_embedding(dense)
-        scores, ids = self.index.search(u, k)
+        scores, ids = self._search(u, k)
         return [
             {
                 "item_id": int(self.index.item_raw_ids[i]),
@@ -113,7 +145,7 @@ class RecommendationService:
         if known:
             ids = jnp.array([dense[i] for i in known])
             u_emb = TwoTower.user_embed(self.encoder_params, ids, self.config.model)
-            scores, top = self.index.search(u_emb, k)
+            scores, top = self._search(u_emb, k)
             for row, i in enumerate(known):
                 out[i] = {
                     "user_id": int(user_ids[i]),

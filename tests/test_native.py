@@ -1,0 +1,76 @@
+"""Native C++ component tests: parser vs pandas, topk vs numpy."""
+
+import numpy as np
+import pytest
+
+from recsys_tpu.utils import native
+
+
+def test_native_builds():
+    assert native.native_available(), "g++ toolchain present but build failed"
+
+
+def test_parse_ratings_dat(tmp_path):
+    p = tmp_path / "ratings.dat"
+    p.write_text("1::1193::5::978300760\n1::661::3::978302109\n2::110::4.5::978301968\n")
+    u, m, r, t = native.parse_ratings_dat(str(p))
+    np.testing.assert_array_equal(u, [1, 1, 2])
+    np.testing.assert_array_equal(m, [1193, 661, 110])
+    np.testing.assert_allclose(r, [5.0, 3.0, 4.5])
+    np.testing.assert_array_equal(t, [978300760, 978302109, 978301968])
+
+
+def test_parse_skips_malformed(tmp_path):
+    p = tmp_path / "ratings.dat"
+    p.write_text("1::2::3::4\ngarbage line\n5::6::7::8\n")
+    u, m, r, t = native.parse_ratings_dat(str(p))
+    np.testing.assert_array_equal(u, [1, 5])
+
+
+def test_parse_large_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 50_000
+    users = rng.integers(1, 6041, n)
+    movies = rng.integers(1, 3953, n)
+    ratings = rng.integers(1, 6, n)
+    ts = rng.integers(9e8, 1e9, n)
+    lines = "\n".join(
+        f"{u}::{m}::{r}::{t}" for u, m, r, t in zip(users, movies, ratings, ts)
+    )
+    p = tmp_path / "big.dat"
+    p.write_text(lines)
+    u, m, r, t = native.parse_ratings_dat(str(p))
+    assert len(u) == n
+    np.testing.assert_array_equal(u, users)
+    np.testing.assert_array_equal(m, movies)
+    np.testing.assert_allclose(r, ratings)
+    np.testing.assert_array_equal(t, ts)
+
+
+def test_topk_dot_vs_numpy():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(7, 32)).astype(np.float32)
+    items = rng.normal(size=(500, 32)).astype(np.float32)
+    s, i = native.topk_dot(q, items, 9)
+    dense = q @ items.T
+    ref_i = np.argsort(-dense, axis=1)[:, :9]
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, np.take_along_axis(dense, ref_i, 1), rtol=1e-5)
+
+
+def test_topk_dot_with_bias():
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    items = rng.normal(size=(100, 16)).astype(np.float32)
+    bias = rng.normal(size=100).astype(np.float32) * 5
+    s, i = native.topk_dot(q, items, 5, bias=bias)
+    dense = q @ items.T + bias[None, :]
+    ref_i = np.argsort(-dense, axis=1)[:, :5]
+    np.testing.assert_array_equal(i, ref_i)
+
+
+def test_topk_k_larger_than_n():
+    q = np.ones((2, 4), np.float32)
+    items = np.eye(4, dtype=np.float32)[:3]
+    s, i = native.topk_dot(q, items, 10)
+    assert s.shape == (2, 3)
