@@ -89,8 +89,11 @@ class MultiTaskModel:
         retrieval negatives (all-gathered over DP replicas);
         ``neg_item_ids [B, K]`` adds the explicit-negatives loss path.
         """
+        k_fwd = k_neg = None
+        if key is not None:
+            k_fwd, k_neg = jax.random.split(key)
         out = MultiTaskModel.apply(
-            params, cfg, batch["user_id"], batch["movie_id"], train=train, key=key
+            params, cfg, batch["user_id"], batch["movie_id"], train=train, key=k_fwd
         )
         mask = batch.get("mask")
         n_bias = params["towers"]["item_bias"].shape[0] - 1
@@ -109,7 +112,7 @@ class MultiTaskModel:
         )
         if neg_item_ids is not None:
             neg_emb = TwoTower.item_embed(
-                params["towers"], neg_item_ids, cfg, train=train
+                params["towers"], neg_item_ids, cfg, train=train, key=k_neg
             )
             retr = retr + losses.sampled_softmax_explicit(
                 out.user_embedding, out.item_embedding, neg_emb

@@ -1,6 +1,7 @@
 """End-to-end trainer tests on the 8-device CPU mesh: the minimum
 end-to-end slice of SURVEY §7.2 plus sharded-table and resume paths."""
 
+import dataclasses
 import json
 import os
 
@@ -90,7 +91,10 @@ def test_sharded_embedding_training_matches_replicated(tiny_bundle, tmp_path):
 
 
 def test_explicit_negatives_path_trains(tiny_bundle, tmp_path):
+    # dropout > 0 on purpose: regression for the dropout-PRNG-key path
+    # through the negative-item tower
     cfg = _cfg().replace(
+        model=dataclasses.replace(TINY_MODEL, dropout_rate=0.2),
         data=DataConfig(negative_sampling="mixed", num_hard_negatives=2,
                         num_random_negatives=3),
         **{"train.epochs": 1},
