@@ -106,6 +106,26 @@ def main() -> int:
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
+    # ---- retrieval QPS (secondary headline, BASELINE.json) ----------
+    from recsys_tpu.models.towers import TwoTower
+    from recsys_tpu.retrieval.scorer import materialize_item_embeddings, topk_scores
+
+    params_host = state.params
+    item_embs = materialize_item_embeddings(
+        jax.tree.map(lambda x: x, params_host["towers"]), cfg.model, n_items
+    )
+    q_batch = 4096
+    uids = jnp.arange(q_batch, dtype=jnp.int32) % n_users
+    u_emb = TwoTower.user_embed(params_host["towers"], uids, cfg.model)
+    s, i = topk_scores(u_emb, item_embs, 10)  # compile
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        s, i = topk_scores(u_emb, item_embs, 10)
+    jax.block_until_ready(s)
+    qps = reps * q_batch / (time.perf_counter() - t0)
+
     n_chips = jax.device_count()
     examples_per_s = args.steps * args.batch / dt
     per_chip = examples_per_s / n_chips
@@ -122,6 +142,8 @@ def main() -> int:
             "steps_timed": args.steps,
             "step_time_ms": round(1000 * dt / args.steps, 3),
             "final_loss": float(np.asarray(metrics["loss"])),
+            "retrieval_qps_batched": round(qps, 1),
+            "catalog_items": n_items,
         },
     }
     print(json.dumps(result))

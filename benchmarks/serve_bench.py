@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Serving latency/throughput benchmark.
+
+The reference's only serving numbers are <50 ms p95 and ~1000 req/s on
+unspecified hardware (``app/README.md:145-146``). This bench measures
+the same quantities against the real HTTP server (in-process
+ThreadingHTTPServer + urllib clients) and the raw service layer
+(no-HTTP floor), for both single /recommend calls and the batched
+endpoint the reference never shipped.
+
+  python benchmarks/serve_bench.py [--model_dir DIR] [--requests N]
+Writes benchmarks/results/serving.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _percentiles(lat_ms):
+    a = np.asarray(lat_ms)
+    return {
+        "p50_ms": float(np.percentile(a, 50)),
+        "p95_ms": float(np.percentile(a, 95)),
+        "p99_ms": float(np.percentile(a, 99)),
+        "mean_ms": float(a.mean()),
+    }
+
+
+def bench_http(service, user_ids, n_requests: int, n_clients: int, k: int):
+    from recsys_tpu.serve.app import make_http_server
+
+    server = make_http_server(service, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    lat = []
+    lock = threading.Lock()
+    idx = {"i": 0}
+
+    def client():
+        while True:
+            with lock:
+                i = idx["i"]
+                if i >= n_requests:
+                    return
+                idx["i"] = i + 1
+            uid = int(user_ids[i % len(user_ids)])
+            body = json.dumps({"user_id": uid, "k": k}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/recommend", data=body,
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req) as r:
+                r.read()
+            with lock:
+                lat.append((time.perf_counter() - t0) * 1000)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t0
+    server.shutdown()
+    return {"qps": n_requests / wall, **_percentiles(lat), "clients": n_clients}
+
+
+def bench_service(service, user_ids, n_requests: int, k: int):
+    lat = []
+    t0 = time.perf_counter()
+    for i in range(n_requests):
+        s = time.perf_counter()
+        service.recommend(int(user_ids[i % len(user_ids)]), k)
+        lat.append((time.perf_counter() - s) * 1000)
+    wall = time.perf_counter() - t0
+    return {"qps": n_requests / wall, **_percentiles(lat)}
+
+
+def bench_batch(service, user_ids, n_batches: int, batch: int, k: int):
+    lat = []
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        uids = [int(u) for u in
+                np.random.default_rng(i).choice(user_ids, batch)]
+        s = time.perf_counter()
+        service.recommend_batch(uids, k)
+        lat.append((time.perf_counter() - s) * 1000)
+    wall = time.perf_counter() - t0
+    return {
+        "users_per_s": n_batches * batch / wall,
+        "batch": batch,
+        **_percentiles(lat),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_dir", default="outputs/bench_quality/c1/serving")
+    ap.add_argument("--requests", type=int, default=2000)
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "device", "native"])
+    args = ap.parse_args()
+
+    import logging
+
+    logging.basicConfig(level=logging.WARNING)
+
+    from recsys_tpu.serve.service import RecommendationService
+
+    service = RecommendationService(args.model_dir, backend=args.backend).load()
+    user_ids = np.array(list(service.user_id_map.keys()))
+
+    # warmup (jit compile)
+    for u in user_ids[:8]:
+        service.recommend(int(u), args.k)
+    service.recommend_batch([int(u) for u in user_ids[:64]], args.k)
+
+    import jax
+
+    result = {
+        "platform": jax.devices()[0].platform,
+        "backend": service._resolved_backend(),
+        "catalog_items": len(service.item_id_map),
+        "reference_claims": {"p95_ms": 50, "qps": 1000},
+        "service_single": bench_service(service, user_ids, args.requests, args.k),
+        "service_batch": bench_batch(service, user_ids, 50, 256, args.k),
+        "http_single": bench_http(service, user_ids, args.requests,
+                                  args.clients, args.k),
+    }
+    os.makedirs("benchmarks/results", exist_ok=True)
+    with open("benchmarks/results/serving.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
