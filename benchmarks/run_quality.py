@@ -97,17 +97,31 @@ def two_stage_eval(trainer, cfg, bundle) -> dict:
     mid = bundle["val/movie_id"][:8192]
     n_cand = 200
 
+    item_bias = jnp.asarray(
+        np.asarray(params["towers"]["item_bias"])[:n_items]
+    )
+    n_users = int(bundle["meta/n_users"])
+    seen = np.zeros((n_users, n_items), bool)
+    seen[bundle["train/user_id"], bundle["train/movie_id"]] = True
+    seen_mask = jnp.asarray(seen)
+
+    from recsys_tpu.retrieval.evaluator import _topk_masked
+
     @jax.jit
     def stage(params, u_ids):
         u_emb = TwoTower.user_embed(params["towers"], u_ids, mcfg)
-        _, cand = topk_scores(u_emb, item_embs, n_cand, normalize=True)
-        # rerank candidates with the CTR head
+        cand_scores, cand = _topk_masked(
+            u_emb, item_embs, seen_mask, u_ids, n_cand,
+            normalize=False, item_bias=item_bias,
+        )
+        # rerank candidates: retrieval log-likelihood + CTR-head logit
         B = u_ids.shape[0]
         flat_items = cand.reshape(-1)
         flat_users = jnp.repeat(u_ids, n_cand)
         out = MultiTaskModel.apply(params, mcfg, flat_users, flat_items)
         ctr = out.ctr_logit.reshape(B, n_cand)
-        order = jnp.argsort(-ctr, axis=1)
+        combined = cand_scores + 0.5 * ctr
+        order = jnp.argsort(-combined, axis=1)
         return jnp.take_along_axis(cand, order, axis=1)
 
     preds = []

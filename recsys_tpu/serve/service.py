@@ -80,15 +80,16 @@ class RecommendationService:
         return self._ready
 
     def _resolved_backend(self) -> str:
+        """auto -> native when the C++ library is available: a single
+        request is one tiny MLP + one catalog dot — host compute wins
+        whenever accelerator dispatch costs more than ~1 ms (always true
+        over a remote-TPU tunnel; on a locally-attached TPU choose
+        backend="device" explicitly for large-batch throughput)."""
         if self.backend != "auto":
             return self.backend
-        import jax
-
         from recsys_tpu.utils.native import native_available
 
-        if jax.devices()[0].platform == "cpu" and native_available():
-            return "native"
-        return "device"
+        return "native" if native_available() else "device"
 
     def _search(self, u_emb, k: int):
         """Cosine top-k via the resolved backend."""
@@ -105,10 +106,33 @@ class RecommendationService:
         return self.index.search(u_emb, k)
 
     # ---- core ops --------------------------------------------------
-    def _user_embedding(self, dense_uid: int) -> jnp.ndarray:
+    def _user_embedding(self, dense_uid) -> jnp.ndarray:
+        ids = np.atleast_1d(np.asarray(dense_uid))
+        if self._resolved_backend() == "native":
+            return self._user_embedding_np(ids)
         return TwoTower.user_embed(
-            self.encoder_params, jnp.array([dense_uid]), self.config.model
+            self.encoder_params, jnp.asarray(ids), self.config.model
         )
+
+    def _user_embedding_np(self, ids: np.ndarray) -> np.ndarray:
+        """Pure-NumPy user tower for the host serving path — a single
+        tiny MLP per request; avoids per-request accelerator dispatch
+        (which costs ~100 ms RPC over a remote-TPU tunnel). Parity with
+        ``TwoTower.user_embed`` is tested in test_serving.py."""
+        p = self.encoder_params
+        table = np.asarray(p["user_table"])
+        rows = table[np.clip(ids, 0, table.shape[0] - 1)]
+        h = rows.astype(np.float32)
+        tower = p["user_tower"]
+        n = len(tower)
+        for i in range(n):
+            layer = tower[f"layer_{i}"]
+            h = h @ np.asarray(layer["w"]) + np.asarray(layer["b"])
+            if i < n - 1:
+                h = np.maximum(h, 0.0)
+        if self.config.model.tower_residual:
+            h = h + rows
+        return h
 
     def recommend(self, user_id: int, k: int = 10) -> List[Dict]:
         """Top-k for one user; cosine scores; popularity fallback for
@@ -143,8 +167,7 @@ class RecommendationService:
             for u in user_ids
         ]
         if known:
-            ids = jnp.array([dense[i] for i in known])
-            u_emb = TwoTower.user_embed(self.encoder_params, ids, self.config.model)
+            u_emb = self._user_embedding(np.array([dense[i] for i in known]))
             scores, top = self._search(u_emb, k)
             for row, i in enumerate(known):
                 out[i] = {
@@ -176,14 +199,16 @@ class RecommendationService:
             if d is None:
                 raise ValueError(f"unknown item_id {m}")
             dense_items.append(d)
-        u = self._user_embedding(dense_u)
+        u = np.asarray(self._user_embedding(dense_u))
+        if not hasattr(self, "_items_host"):
+            self._items_host = np.asarray(self.index.item_embeddings, np.float32)
+        sel = self._items_host[np.array(dense_items)]
         if normalized:
-            from recsys_tpu.retrieval.scorer import l2_normalize
-
-            sel = jnp.take(self.index.item_embeddings, jnp.array(dense_items), axis=0)
-            s = np.asarray(l2_normalize(u) @ l2_normalize(sel).T)[0]
+            un = u / np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
+            sn = sel / np.maximum(np.linalg.norm(sel, axis=-1, keepdims=True), 1e-12)
+            s = (un @ sn.T)[0]
         else:
-            s = self.index.raw_dot_scores(u, np.array(dense_items))[0]
+            s = (u @ sel.T)[0]
         return [
             {"item_id": int(m), "score": float(v)} for m, v in zip(item_ids, s)
         ]
@@ -231,8 +256,9 @@ class StubRecommendationService(RecommendationService):
         self._ready = True
         self.model_version = "stub-0.0.0"
 
-    def _user_embedding(self, dense_uid: int) -> jnp.ndarray:
-        return jnp.asarray(self._stub_user_embs[dense_uid : dense_uid + 1])
+    def _user_embedding(self, dense_uid) -> np.ndarray:
+        ids = np.atleast_1d(np.asarray(dense_uid))
+        return self._stub_user_embs[ids]
 
     def score(self, user_id: int, item_ids: List[int],
               normalized: bool = False) -> List[Dict]:

@@ -526,6 +526,15 @@ class Trainer:
             monitor = t_cfg.early_stop_metric
             sign = -1.0 if "recall" in monitor or "auc" in monitor else 1.0
             value = logs.get(monitor)
+            if value is None and monitor != "val_loss":
+                # monitor not computed this epoch (eval_every_epochs
+                # cadence): do not update best/patience with a
+                # different-scaled fallback — just checkpoint
+                self.ckpt.save(
+                    int(np.asarray(state.step)), state._asdict(),
+                    metrics={"val_loss": logs.get("val_loss", float("nan"))},
+                )
+                continue
             if value is None:
                 value = logs.get("val_loss", float("inf"))
             score = sign * value  # lower is better
