@@ -49,23 +49,30 @@ def bench_http(service, user_ids, n_requests: int, n_clients: int, k: int):
     idx = {"i": 0}
 
     def client():
-        while True:
-            with lock:
-                i = idx["i"]
-                if i >= n_requests:
-                    return
-                idx["i"] = i + 1
-            uid = int(user_ids[i % len(user_ids)])
-            body = json.dumps({"user_id": uid, "k": k}).encode()
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/recommend", data=body,
-                headers={"Content-Type": "application/json"}, method="POST",
-            )
-            t0 = time.perf_counter()
-            with urllib.request.urlopen(req) as r:
-                r.read()
-            with lock:
-                lat.append((time.perf_counter() - t0) * 1000)
+        import http.client
+
+        import socket
+
+        conn = http.client.HTTPConnection("127.0.0.1", port)  # keep-alive
+        conn.connect()
+        conn.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        try:
+            while True:
+                with lock:
+                    i = idx["i"]
+                    if i >= n_requests:
+                        return
+                    idx["i"] = i + 1
+                uid = int(user_ids[i % len(user_ids)])
+                body = json.dumps({"user_id": uid, "k": k})
+                t0 = time.perf_counter()
+                conn.request("POST", "/recommend", body,
+                             {"Content-Type": "application/json"})
+                conn.getresponse().read()
+                with lock:
+                    lat.append((time.perf_counter() - t0) * 1000)
+        finally:
+            conn.close()
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=client) for _ in range(n_clients)]

@@ -61,6 +61,10 @@ class ModelConfig:
     # lets the id embedding reach the score directly, which materially
     # speeds up factorization learning under in-batch softmax.
     tower_residual: bool = True
+    # run the DCN cross stack through the fused Pallas kernel
+    # (ops/pallas/dcn_cross.py). Equivalence-tested vs the XLA path;
+    # interpret-mode on CPU.
+    use_pallas_dcn: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "user_tower_dims", tuple(self.user_tower_dims))

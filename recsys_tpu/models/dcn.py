@@ -59,13 +59,26 @@ class DeepCrossNetwork:
     ) -> jnp.ndarray:
         dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
         x0 = x.astype(dtype)
-        xl = x0
-        for i in range(cfg.cross_layers):
-            p = params["cross"][f"layer_{i}"]
-            w = p["w"].astype(dtype)
-            # (x_l . w) is [B, 1]; fp32 accumulate on the reduction
-            xw = jnp.sum(xl * w, axis=-1, keepdims=True, dtype=jnp.float32)
-            xl = (x0 * xw.astype(dtype) + p["b"].astype(dtype) + xl).astype(dtype)
+        if cfg.use_pallas_dcn and cfg.cross_layers > 0:
+            from recsys_tpu.ops.pallas.dcn_cross import dcn_cross_fused
+
+            w_stack = jnp.stack(
+                [params["cross"][f"layer_{i}"]["w"] for i in range(cfg.cross_layers)]
+            )
+            b_stack = jnp.stack(
+                [params["cross"][f"layer_{i}"]["b"] for i in range(cfg.cross_layers)]
+            )
+            xl = dcn_cross_fused(
+                x0.astype(jnp.float32), w_stack, b_stack
+            ).astype(dtype)
+        else:
+            xl = x0
+            for i in range(cfg.cross_layers):
+                p = params["cross"][f"layer_{i}"]
+                w = p["w"].astype(dtype)
+                # (x_l . w) is [B, 1]; fp32 accumulate on the reduction
+                xw = jnp.sum(xl * w, axis=-1, keepdims=True, dtype=jnp.float32)
+                xl = (x0 * xw.astype(dtype) + p["b"].astype(dtype) + xl).astype(dtype)
         if not params["deep"]:
             return xl.astype(jnp.float32)
         deep = L.mlp(

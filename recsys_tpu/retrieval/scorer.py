@@ -119,9 +119,18 @@ class RetrievalIndex:
         item_raw_ids: np.ndarray,
         normalize: bool = True,
     ):
-        self.item_embeddings = jnp.asarray(item_embeddings)
+        # host copy is canonical; device placement is lazy so that
+        # host-only serving never initializes an accelerator backend
+        self.item_embeddings_np = np.asarray(item_embeddings, np.float32)
         self.item_raw_ids = np.asarray(item_raw_ids)
         self.normalize = normalize
+        self._device_embs = None
+
+    @property
+    def item_embeddings(self) -> jnp.ndarray:
+        if self._device_embs is None:
+            self._device_embs = jnp.asarray(self.item_embeddings_np)
+        return self._device_embs
 
     @classmethod
     def build(
@@ -151,7 +160,7 @@ class RetrievalIndex:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.savez_compressed(
             path,
-            item_embeddings=np.asarray(self.item_embeddings, np.float32),
+            item_embeddings=self.item_embeddings_np,
             item_raw_ids=self.item_raw_ids,
             normalize=np.array(self.normalize),
         )

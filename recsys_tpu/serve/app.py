@@ -165,6 +165,9 @@ def make_http_server(
     api = Api(service)
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive (we always send Content-Length)
+        disable_nagle_algorithm = True  # small JSON responses: latency > batching
+
         def _respond(self, code: int, payload: Dict) -> None:
             data = json.dumps(payload).encode()
             self.send_response(code)

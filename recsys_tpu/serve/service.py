@@ -94,15 +94,19 @@ class RecommendationService:
     def _search(self, u_emb, k: int):
         """Cosine top-k via the resolved backend."""
         if self._resolved_backend() == "native":
-            from recsys_tpu.retrieval.scorer import l2_normalize
             from recsys_tpu.utils.native import topk_dot
 
             if not hasattr(self, "_items_norm"):
-                self._items_norm = np.asarray(
-                    l2_normalize(self.index.item_embeddings), np.float32
+                items = self.index.item_embeddings_np
+                norms = np.maximum(
+                    np.linalg.norm(items, axis=-1, keepdims=True), 1e-12
                 )
-            q = np.asarray(l2_normalize(u_emb), np.float32)
-            return topk_dot(q, self._items_norm, k)
+                self._items_norm = items / norms
+            q = np.asarray(u_emb, np.float32)
+            q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            # small thread fan-out: per-request thread spawn must stay cheap
+            n_threads = 1 if q.shape[0] <= 4 else 8
+            return topk_dot(q, self._items_norm, k, n_threads=n_threads)
         return self.index.search(u_emb, k)
 
     # ---- core ops --------------------------------------------------
@@ -201,7 +205,7 @@ class RecommendationService:
             dense_items.append(d)
         u = np.asarray(self._user_embedding(dense_u))
         if not hasattr(self, "_items_host"):
-            self._items_host = np.asarray(self.index.item_embeddings, np.float32)
+            self._items_host = self.index.item_embeddings_np
         sel = self._items_host[np.array(dense_items)]
         if normalized:
             un = u / np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-12)

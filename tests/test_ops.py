@@ -72,3 +72,28 @@ def test_ring_topk_unnormalized():
     dense = u @ v.T
     ref_i = np.argsort(-dense, 1)[:, :k]
     np.testing.assert_array_equal(np.asarray(i_ring), ref_i)
+
+
+def test_dcn_apply_pallas_flag_matches_xla():
+    """DCN.apply with use_pallas_dcn must match the XLA path."""
+    import dataclasses
+
+    from recsys_tpu.config import ModelConfig
+    from recsys_tpu.models.dcn import DeepCrossNetwork
+
+    cfg = ModelConfig(embedding_dim=16, cross_layers=3, dnn_dims=(16,),
+                      dropout_rate=0.0, mixed_precision=False)
+    cfg_pl = dataclasses.replace(cfg, use_pallas_dcn=True)
+    rng = np.random.default_rng(4)
+    params = DeepCrossNetwork.init(jax.random.PRNGKey(0), cfg, 32)
+    x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    out_xla = DeepCrossNetwork.apply(params, x, cfg)
+    out_pl = DeepCrossNetwork.apply(params, x, cfg_pl)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-4)
+    # gradients too
+    g_x = jax.grad(lambda p: jnp.sum(DeepCrossNetwork.apply(p, x, cfg) ** 2))(params)
+    g_p = jax.grad(lambda p: jnp.sum(DeepCrossNetwork.apply(p, x, cfg_pl) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-2)
