@@ -1,0 +1,87 @@
+"""Auxiliary coverage: EDA script, sharded checkpoint round-trip,
+streaming (non-device-resident) trainer path, config round-trip."""
+
+import json
+
+import numpy as np
+import pytest
+
+from recsys_tpu.config import MeshConfig, RecsysConfig, TrainConfig
+
+
+def test_eda_script(tmp_path):
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    from benchmarks.eda import run_eda
+
+    report = run_eda("/root/reference/data/raw", synthetic_ratings=5000)
+    assert report["n_users"] > 0 and report["n_movies"] > 0
+    assert 0.0 < report["sparsity"] < 1.0
+    assert report["consistency"]["rating_users_missing_from_users_table"] == 0
+    assert sum(report["genre_counts"].values()) > 0
+    assert set(report["rating_distribution"]) <= {"1", "2", "3", "4", "5"}
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Checkpoint a rows-sharded TrainState and restore it with the
+    same shardings (each shard's contents preserved)."""
+    import jax
+
+    from recsys_tpu.config import EvalConfig, ModelConfig
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.train.checkpoint import CheckpointManager
+    from recsys_tpu.train.trainer import Trainer, TrainState
+
+    cfg = RecsysConfig(
+        model=ModelConfig(embedding_dim=16, user_tower_dims=(16,),
+                          item_tower_dims=(16,), cross_layers=1, dnn_dims=(8,),
+                          dropout_rate=0.0, mixed_precision=False),
+        mesh=MeshConfig(model_axis=4, embedding_sharding="rows"),
+        train=TrainConfig(batch_size=64),
+    )
+    tr = Trainer(cfg, output_dir=str(tmp_path / "run"),
+                 mesh_ctx=make_mesh(model_parallel=4))
+    state = tr.init_state(50, 70, seed=0)
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep=2)
+    mgr.save(5, state._asdict(), metrics={"val_loss": 1.0}, is_best=True)
+    restored = mgr.restore(5, like=state._asdict())
+    for a, b in zip(jax.tree.leaves(state._asdict()), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert mgr.best_step() == 5
+    # rotation keeps best
+    mgr.save(6, state._asdict())
+    mgr.save(7, state._asdict())
+    mgr.save(8, state._asdict())
+    assert 5 in mgr.all_steps()
+
+
+def test_streaming_trainer_path(tiny_bundle, tmp_path):
+    """device_resident_data=False exercises the per-step transfer path."""
+    from recsys_tpu.config import EvalConfig, ModelConfig
+    from recsys_tpu.train.trainer import Trainer
+
+    cfg = RecsysConfig(
+        model=ModelConfig(embedding_dim=8, user_tower_dims=(16,),
+                          item_tower_dims=(16,), cross_layers=1, dnn_dims=(8,),
+                          dropout_rate=0.0, mixed_precision=False),
+        train=TrainConfig(batch_size=256, epochs=1, optimizer="adam",
+                          learning_rate=5e-3, device_resident_data=False,
+                          log_every_steps=1),
+        eval=EvalConfig(topk=(5,), eval_batch_size=256),
+    )
+    tr = Trainer(cfg, output_dir=str(tmp_path / "stream"))
+    report = tr.train(tiny_bundle)
+    assert np.isfinite(report["recall@5"])
+
+
+def test_config_dotted_replace_and_roundtrip(tmp_path):
+    cfg = RecsysConfig()
+    cfg2 = cfg.replace(**{"train.epochs": 3, "model.embedding_dim": 64})
+    assert cfg2.train.epochs == 3 and cfg2.model.embedding_dim == 64
+    with pytest.raises(KeyError):
+        cfg.replace(**{"train.nonexistent": 1})
+    p = str(tmp_path / "c.json")
+    cfg2.save(p)
+    cfg3 = RecsysConfig.load(p)
+    assert cfg3 == cfg2
