@@ -55,6 +55,7 @@ def main() -> int:
         args.ratings, args.steps, args.batch = 100_000, 20, 1024
 
     import jax
+    import jax.numpy as jnp
 
     from recsys_tpu.config import EvalConfig, ModelConfig, RecsysConfig, TrainConfig
     from recsys_tpu.parallel.mesh import make_mesh
