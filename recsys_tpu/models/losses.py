@@ -72,12 +72,86 @@ def in_batch_softmax(
         logits = logits + cand_bias[None, :]
     if cand_logq is not None:
         logits = logits - cand_logq[None, :]
-    labels = jax.nn.one_hot(diag, logits.shape[1], dtype=jnp.float32)
     if cand_ids is not None and item_ids is not None:
+        # accidental-hit masking without materializing a one-hot label
+        # matrix (a [B, B] fp32 one_hot is ~1 GB of HBM traffic at
+        # B=16k): duplicate-item columns are -inf'd except the column
+        # that IS the row's positive.
         dup = item_ids[:, None] == cand_ids[None, :]
-        accidental = dup & (labels == 0.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        accidental = dup & (col != diag[:, None])
         logits = jnp.where(accidental, -1e9, logits)
-    ce = -jnp.sum(labels * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+    # CE against the diagonal label: logsumexp - positive logit (no
+    # one_hot / labels multiply — two [B, B] passes instead of four)
+    pos = jnp.take_along_axis(logits, diag[:, None], axis=1)[:, 0]
+    ce = jax.nn.logsumexp(logits, axis=-1) - pos
+    if mask is not None:
+        return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(ce)
+
+
+def in_batch_softmax_chunked(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    item_ids: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    log_q: Optional[jnp.ndarray] = None,
+    item_bias: Optional[jnp.ndarray] = None,
+    chunk_size: int = 4096,
+) -> jnp.ndarray:
+    """Flash-style in-batch softmax CE: candidates are scanned in
+    chunks with an online logsumexp, so the [B, B] logits matrix is
+    never materialized in HBM (at B=16k that matrix is ~1 GB fp32 and
+    dominates the step time). The chunk body is ``jax.checkpoint``-ed:
+    the backward pass recomputes per-chunk logits instead of saving
+    them — the same compute/memory trade as flash attention.
+
+    Semantics identical to :func:`in_batch_softmax` (single-replica
+    path): logQ correction, item bias, accidental-hit masking.
+    """
+    b, d = user_emb.shape
+    assert b % chunk_size == 0, (b, chunk_size)
+    n_chunks = b // chunk_size
+    diag = jnp.arange(b)
+
+    col_corr = jnp.zeros((b,), jnp.float32)
+    if item_bias is not None:
+        col_corr = col_corr + item_bias
+    if log_q is not None:
+        col_corr = col_corr - log_q
+
+    v_chunks = item_emb.reshape(n_chunks, chunk_size, d)
+    corr_chunks = col_corr.reshape(n_chunks, chunk_size)
+    ids_chunks = (
+        item_ids.reshape(n_chunks, chunk_size) if item_ids is not None else
+        jnp.zeros((n_chunks, chunk_size), jnp.int32)
+    )
+
+    @jax.checkpoint
+    def chunk_fn(carry, inp):
+        lse, pos = carry
+        c_idx, v_c, corr_c, ids_c = inp
+        s = jnp.dot(user_emb, v_c.T, preferred_element_type=jnp.float32)
+        s = s + corr_c[None, :]
+        col0 = c_idx * chunk_size
+        col = col0 + jnp.arange(chunk_size)
+        if item_ids is not None:
+            dup = item_ids[:, None] == ids_c[None, :]
+            accidental = dup & (col[None, :] != diag[:, None])
+            s = jnp.where(accidental, -1e9, s)
+        new_lse = jnp.logaddexp(lse, jax.nn.logsumexp(s, axis=-1))
+        in_chunk = (diag >= col0) & (diag < col0 + chunk_size)
+        idx = jnp.clip(diag - col0, 0, chunk_size - 1)
+        chunk_pos = jnp.take_along_axis(s, idx[:, None], axis=1)[:, 0]
+        new_pos = jnp.where(in_chunk, chunk_pos, pos)
+        return (new_lse, new_pos), None
+
+    init = (jnp.full((b,), -jnp.inf), jnp.zeros((b,)))
+    (lse, pos), _ = jax.lax.scan(
+        chunk_fn, init,
+        (jnp.arange(n_chunks), v_chunks, corr_chunks, ids_chunks),
+    )
+    ce = lse - pos
     if mask is not None:
         return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.mean(ce)

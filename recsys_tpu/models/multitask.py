@@ -101,9 +101,12 @@ class MultiTaskModel:
             params["towers"]["item_bias"],
             jnp.clip(batch["movie_id"], 0, n_bias),
         )
+        # the B x B logits matmul dominates the step at large batch; run
+        # it on the MXU in bf16 (fp32 accumulation inside the dot)
+        emb_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
         retr = losses.in_batch_softmax(
-            out.user_embedding,
-            out.item_embedding,
+            out.user_embedding.astype(emb_dtype),
+            out.item_embedding.astype(emb_dtype),
             item_ids=batch["movie_id"],
             axis_name=data_axis if global_negatives else None,
             mask=mask,

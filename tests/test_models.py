@@ -191,3 +191,38 @@ def test_mixed_precision_close_to_fp32():
         np.asarray(out_bf.rating_pred), np.asarray(out_fp.rating_pred),
         rtol=0.1, atol=0.15,
     )
+
+
+def test_chunked_softmax_matches_dense():
+    """Flash-style chunked CE == dense in-batch softmax (values and
+    gradients), including logQ, bias, and accidental-hit masking."""
+    rng = np.random.default_rng(7)
+    b, d = 64, 16
+    u = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 40, b))  # duplicates guaranteed
+    log_q = jnp.asarray(rng.normal(size=b).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=b).astype(np.float32))
+
+    def dense(u, v):
+        return losses.in_batch_softmax(u, v, item_ids=ids, log_q=log_q,
+                                       item_bias=bias)
+
+    def chunked(u, v):
+        return losses.in_batch_softmax_chunked(u, v, item_ids=ids,
+                                               log_q=log_q, item_bias=bias,
+                                               chunk_size=16)
+
+    np.testing.assert_allclose(float(dense(u, v)), float(chunked(u, v)),
+                               rtol=1e-5)
+    gd = jax.grad(lambda a, b2: dense(a, b2), argnums=(0, 1))(u, v)
+    gc = jax.grad(lambda a, b2: chunked(a, b2), argnums=(0, 1))(u, v)
+    for a, c in zip(gd, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
+    # masked variant
+    m = jnp.asarray((rng.random(b) > 0.3).astype(np.float32))
+    d1 = losses.in_batch_softmax(u, v, item_ids=ids, mask=m)
+    d2 = losses.in_batch_softmax_chunked(u, v, item_ids=ids, mask=m,
+                                         chunk_size=16)
+    np.testing.assert_allclose(float(d1), float(d2), rtol=1e-5)
