@@ -65,6 +65,12 @@ class ModelConfig:
     # (ops/pallas/dcn_cross.py). Equivalence-tested vs the XLA path;
     # interpret-mode on CPU.
     use_pallas_dcn: bool = False
+    # run the retrieval loss through the flash sampled-softmax Pallas
+    # kernel (ops/pallas/flash_ce.py): never materializes [B, B] logits
+    # in HBM. ~17% faster backward at B=16k and the only way to train
+    # B>=64k in-batch softmax on one chip; compile time over a remote
+    # TPU is long, so off by default.
+    use_flash_ce: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "user_tower_dims", tuple(self.user_tower_dims))

@@ -104,15 +104,27 @@ class MultiTaskModel:
         # the B x B logits matmul dominates the step at large batch; run
         # it on the MXU in bf16 (fp32 accumulation inside the dot)
         emb_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
-        retr = losses.in_batch_softmax(
-            out.user_embedding.astype(emb_dtype),
-            out.item_embedding.astype(emb_dtype),
-            item_ids=batch["movie_id"],
-            axis_name=data_axis if global_negatives else None,
-            mask=mask,
-            log_q=batch.get("log_q"),
-            item_bias=bias,
-        )
+        if cfg.use_flash_ce and not global_negatives:
+            from recsys_tpu.ops.pallas.flash_ce import in_batch_softmax_flash
+
+            retr = in_batch_softmax_flash(
+                out.user_embedding.astype(emb_dtype),
+                out.item_embedding.astype(emb_dtype),
+                item_ids=batch["movie_id"],
+                mask=mask,
+                log_q=batch.get("log_q"),
+                item_bias=bias,
+            )
+        else:
+            retr = losses.in_batch_softmax(
+                out.user_embedding.astype(emb_dtype),
+                out.item_embedding.astype(emb_dtype),
+                item_ids=batch["movie_id"],
+                axis_name=data_axis if global_negatives else None,
+                mask=mask,
+                log_q=batch.get("log_q"),
+                item_bias=bias,
+            )
         if neg_item_ids is not None:
             neg_emb = TwoTower.item_embed(
                 params["towers"], neg_item_ids, cfg, train=train, key=k_neg
