@@ -44,7 +44,7 @@ def get_bundle(num_ratings: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--dim", type=int, default=128)
@@ -59,7 +59,6 @@ def main() -> int:
 
     from recsys_tpu.config import EvalConfig, ModelConfig, RecsysConfig, TrainConfig
     from recsys_tpu.parallel.mesh import make_mesh
-    from recsys_tpu.parallel.sharding import shard_batch
     from recsys_tpu.data.pipeline import Batcher
     from recsys_tpu.models import losses
     from recsys_tpu.train.trainer import Trainer
@@ -86,26 +85,41 @@ def main() -> int:
     batcher = Batcher(bundle, "train", args.batch, seed=0)
     batches = []
     it = batcher.epoch(0)
-    for _ in range(args.steps + args.warmup):
+    for _ in range(args.steps):
         try:
             b = next(it)
         except StopIteration:
             it = batcher.epoch(1)
             b = next(it)
-        b = {**b, "log_q": log_q[b["movie_id"]]}
-        batches.append(shard_batch(ctx, b))
+        batches.append({**b, "log_q": log_q[b["movie_id"]]})
 
-    step = trainer.make_train_step(class_weights, batches[0], False)
+    # Device-resident timing: the production training mode is one
+    # lax.scan per epoch (TrainConfig.device_resident_data), so the
+    # honest per-step number is measured the same way — batches staged
+    # on device once, all steps in ONE dispatch, completion forced by
+    # reading the last step's loss back to the host. A per-step Python
+    # dispatch loop over the remote-TPU tunnel measures the tunnel, and
+    # block_until_ready alone returns early through the relay.
+    stacked = {
+        k: jax.device_put(np.stack([b[k] for b in batches]))
+        for k in batches[0]
+    }
+    step_core = trainer._step_core(class_weights, False)
 
-    for b in batches[: args.warmup]:
-        state, metrics = step(state, b)
-    jax.block_until_ready(state.params)
+    @jax.jit
+    def run_steps(state, data):
+        def body(s, b):
+            s2, m = step_core(s, b)
+            return s2, m["loss"]
+        return jax.lax.scan(body, state, data)
 
+    state, step_losses = run_steps(state, stacked)  # compile + warm
+    float(step_losses[-1])
     t0 = time.perf_counter()
-    for b in batches[args.warmup :]:
-        state, metrics = step(state, b)
-    jax.block_until_ready(state.params)
+    state, step_losses = run_steps(state, stacked)
+    final_loss = float(step_losses[-1])  # host readback = true completion
     dt = time.perf_counter() - t0
+    metrics = {"loss": final_loss}
 
     # ---- retrieval QPS (secondary headline, BASELINE.json) ----------
     from recsys_tpu.models.towers import TwoTower
@@ -118,13 +132,20 @@ def main() -> int:
     q_batch = 4096
     uids = jnp.arange(q_batch, dtype=jnp.int32) % n_users
     u_emb = TwoTower.user_embed(params_host["towers"], uids, cfg.model)
-    s, i = topk_scores(u_emb, item_embs, 10)  # compile
-    jax.block_until_ready(s)
+    reps = 200
+
+    @jax.jit
+    def topk_reps(u_emb, item_embs):
+        def body(c, i):
+            # perturb the queries so XLA can't hoist the loop-invariant
+            # score+topk out of the scan
+            s, idx = topk_scores(u_emb + i * 1e-9, item_embs, 10)
+            return c + s[0, 0], None
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))[0]
+
+    float(topk_reps(u_emb, item_embs))  # compile + warm
     t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
-        s, i = topk_scores(u_emb, item_embs, 10)
-    jax.block_until_ready(s)
+    float(topk_reps(u_emb, item_embs))  # readback = true completion
     qps = reps * q_batch / (time.perf_counter() - t0)
 
     n_chips = jax.device_count()

@@ -155,6 +155,12 @@ class TrainConfig:
     device_resident_data: bool = True
     device_data_limit_mb: int = 2048
     profile: bool = False  # jax.profiler trace capture around a training window
+    # Dropout-mask PRNG: "rbg" uses the hardware RngBitGenerator
+    # (threefry mask generation alone is ~45% of a B=4096 step on a
+    # v5e chip; rbg recovers it — 0.93 -> 0.53 ms/step measured).
+    # Still fully deterministic per (seed, step); set "threefry" for
+    # the splittable crypto-strength stream.
+    dropout_rng_impl: str = "rbg"
 
 
 @dataclass(frozen=True)

@@ -72,6 +72,24 @@ class TrainState(NamedTuple):
     rng: jax.Array
 
 
+def _dropout_key(impl: str, base: jax.Array, step: jnp.ndarray) -> jax.Array:
+    """Per-step dropout key. ``impl="rbg"`` derives a hardware
+    RngBitGenerator key from (base, step) — threefry mask generation
+    alone costs ~45% of a B=4096 train step on a v5e chip, rbg makes it
+    ~free while staying deterministic per (seed, step)."""
+    if impl == "rbg":
+        data = jnp.stack(
+            [
+                base[0].astype(jnp.uint32),
+                base[1].astype(jnp.uint32),
+                step.astype(jnp.uint32),
+                jnp.uint32(0x5EED),
+            ]
+        )
+        return jax.random.wrap_key_data(data, impl="rbg")
+    return jax.random.fold_in(base, step)
+
+
 class Trainer:
     def __init__(
         self,
@@ -151,7 +169,9 @@ class Trainer:
         batch_sh = self.batch_sharding_tree(example_batch)
 
         def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
-            rng = jax.random.fold_in(state.rng, state.step)
+            rng = _dropout_key(
+                cfg.train.dropout_rng_impl, state.rng, state.step
+            )
             neg_ids = batch.pop("neg_ids") if use_explicit_negs else None
             (loss, metrics), grads = jax.value_and_grad(
                 MultiTaskModel.loss, has_aux=True
@@ -185,7 +205,9 @@ class Trainer:
         opt = self.optimizer
 
         def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
-            rng = jax.random.fold_in(state.rng, state.step)
+            rng = _dropout_key(
+                cfg.train.dropout_rng_impl, state.rng, state.step
+            )
             neg_ids = batch.pop("neg_ids") if use_explicit_negs else None
             (loss, metrics), grads = jax.value_and_grad(
                 MultiTaskModel.loss, has_aux=True

@@ -6,6 +6,12 @@ Usage:
   python scripts/preprocess.py --data_dir data/raw --output data/processed/processed_data.npz
 """
 
+import os
+import sys
+
+# allow running straight from a checkout: python scripts/<name>.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import logging
 import sys

@@ -6,6 +6,12 @@ Usage:
       [--host 0.0.0.0] [--port 8000] [--stub]
 """
 
+import os
+import sys
+
+# allow running straight from a checkout: python scripts/<name>.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import logging
 import sys

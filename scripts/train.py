@@ -14,6 +14,12 @@ New (TPU): --model_parallel --embedding_sharding --resume --bf16
   --global_negatives --eval_sample
 """
 
+import os
+import sys
+
+# allow running straight from a checkout: python scripts/<name>.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import logging
 import sys
