@@ -1,0 +1,320 @@
+#!/usr/bin/env python
+"""Scaled synthetic workload bench — BASELINE.json configs[4].
+
+The reference tops out at MovieLens-1M with fully replicated
+``keras.layers.Embedding`` tables and a host-side FAISS flat index; it
+has no story for ID tables that exceed one accelerator. This bench
+exercises the TPU-native answer at two scales:
+
+* ``--mode chip`` (one real TPU): a giant single-chip table (default
+  16M rows x dim 128 = 8.2 GB HBM) — embedding-lookup throughput
+  (ids/s) and blockwise top-k serving over a multi-million-item
+  catalog streamed in HBM-friendly blocks (``ops/topk.blockwise_topk``).
+* ``--mode mesh`` (8-device CPU mesh, the multi-chip stand-in): a
+  TRUE 100M-row table row-sharded over the ``model`` axis, comparing
+  the three lookup strategies (XLA-partitioned gather, masked+psum,
+  capacity-bucketed all-to-all — ``embed/table.py``) plus the sharded
+  top-k (per-shard ``lax.top_k`` + merge) and the ppermute-ring top-k
+  (``ops/topk.make_ring_topk``) over a row-sharded catalog.
+
+Timing uses one ``lax.scan`` dispatch with a forced host readback (see
+``bench.py`` — ``block_until_ready`` returns early through the remote
+relay) and per-iteration input perturbation so XLA cannot hoist the
+loop body.
+
+Writes ``benchmarks/results/scale.json``. Run:
+  python benchmarks/scale_bench.py --mode chip
+  JAX_PLATFORMS=cpu python benchmarks/scale_bench.py --mode mesh
+(the mesh mode forces an 8-device CPU pool itself if needed)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "results", "scale.json"
+)
+
+
+def _force_cpu_mesh(n_devices: int) -> None:
+    import jax
+
+    try:
+        have = len(jax.devices())
+    except RuntimeError:
+        have = 0
+    if have < n_devices:
+        import jax.extend.backend as jeb
+
+        jeb.clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_devices)
+
+
+def timed_scan(fn, carry, reps: int, *args):
+    """Time ``reps`` applications of ``fn(carry, i, *args)`` inside ONE
+    dispatched lax.scan; readback of the reduced output forces true
+    completion. Device arrays MUST be passed via ``*args`` — a closure
+    capture becomes an HLO constant and is shipped through the remote
+    compile service (HTTP 413 on multi-GB tables)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(c, *a):
+        def body(c, i):
+            return fn(c, i, *a), None
+
+        return jax.lax.scan(body, c, jnp.arange(reps))[0]
+
+    out = run(carry, *args)
+    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # warm
+    t0 = time.perf_counter()
+    out = run(carry, *args)
+    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_chip(rows: int, dim: int, batch: int, catalog: int, k: int,
+               q_batch: int, reps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops.topk import blockwise_topk
+
+    print(f"[chip] building {rows}x{dim} table...", file=sys.stderr, flush=True)
+    key = jax.random.key(0, impl="rbg")
+    table = jax.random.normal(key, (rows, dim), jnp.float32)
+    jax.block_until_ready(table)
+    ids0 = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, rows, jnp.int32)
+
+    print("[chip] table ready; lookup bench...", file=sys.stderr, flush=True)
+
+    def lookup_fn(c, i, table, ids0):
+        ids = (ids0 + i) % rows
+        emb = jnp.take(table, ids, axis=0)
+        return c + emb[0, 0]
+
+    dt_lookup = timed_scan(lookup_fn, jnp.float32(0), reps, table, ids0)
+
+    # blockwise streaming top-k over a huge catalog (long-context
+    # analogue, SURVEY §5.7): queries vs `catalog` items in blocks
+    print("[chip] lookup done; topk bench...", file=sys.stderr, flush=True)
+    items = table[:catalog]
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (q_batch, dim), jnp.float32)
+
+    def topk_fn(c, i, q0, items):
+        s, idx = blockwise_topk(q0 + i * 1e-9, items, k=k, block_size=65536)
+        return c + s[0, 0]
+
+    dt_topk = timed_scan(topk_fn, jnp.float32(0), max(reps // 4, 2), q0, items)
+
+    def topk_approx_fn(c, i, q0, items):
+        s, idx = blockwise_topk(
+            q0 + i * 1e-9, items, k=k, block_size=500_000, approx=True
+        )
+        return c + s[0, 0]
+
+    dt_topk_approx = timed_scan(
+        topk_approx_fn, jnp.float32(0), max(reps // 2, 4), q0, items)
+
+    return {
+        "mode": "chip",
+        "platform": jax.devices()[0].platform,
+        "table_rows": rows,
+        "dim": dim,
+        "table_gb": round(rows * dim * 4 / 2**30, 2),
+        "lookup_batch": batch,
+        "lookup_ids_per_s": round(batch / dt_lookup, 1),
+        "lookup_ms": round(dt_lookup * 1e3, 3),
+        "catalog_items": catalog,
+        "topk_k": k,
+        "topk_query_batch": q_batch,
+        "topk_queries_per_s": round(q_batch / dt_topk, 1),
+        "topk_ms": round(dt_topk * 1e3, 3),
+        "topk_item_scores_per_s": round(q_batch * catalog / dt_topk, 1),
+        "topk_approx_queries_per_s": round(q_batch / dt_topk_approx, 1),
+        "topk_approx_ms": round(dt_topk_approx * 1e3, 3),
+        "topk_approx_item_scores_per_s": round(
+            q_batch * catalog / dt_topk_approx, 1),
+    }
+
+
+def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
+               q_batch: int, reps: int, n_devices: int) -> dict:
+    _force_cpu_mesh(n_devices)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from recsys_tpu.embed.table import (
+        make_sharded_lookup_a2a, make_sharded_lookup_psum,
+    )
+    from recsys_tpu.ops.topk import make_ring_topk
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.retrieval.scorer import make_sharded_topk
+
+    ctx = make_mesh(model_parallel=n_devices, devices=jax.devices()[:n_devices])
+    rows_sh = NamedSharding(ctx.mesh, P(ctx.model_axis, None))
+    rep = NamedSharding(ctx.mesh, P())
+
+    assert rows % n_devices == 0
+    # materialize the sharded table ON the mesh (host never holds it
+    # whole) — a true 100M x dim table. Hashed-iota fill: RNG draws for
+    # 1.6B elements dominate the bench setup on the CPU mesh and the
+    # values are irrelevant to lookup/top-k throughput.
+    print(f"[mesh] building {rows}x{dim} sharded table...",
+          file=sys.stderr, flush=True)
+
+    def make_table(_):
+        i = jax.lax.broadcasted_iota(jnp.uint32, (rows, dim), 0)
+        j = jax.lax.broadcasted_iota(jnp.uint32, (rows, dim), 1)
+        h = (i * jnp.uint32(2654435761) + j * jnp.uint32(40503)) >> 9
+        t = h.astype(jnp.float32) / jnp.float32(2**23) - 1.0
+        return jax.lax.with_sharding_constraint(t, rows_sh)
+
+    with ctx.mesh:
+        table = jax.jit(make_table, out_shardings=rows_sh)(0)
+    jax.block_until_ready(table)
+    print("[mesh] table ready", file=sys.stderr, flush=True)
+
+    ids0 = jax.device_put(
+        np.random.default_rng(1).integers(0, rows, batch).astype(np.int32), rep
+    )
+
+    results = {}
+    # 1) XLA-partitioned gather (the trainer's default row-sharded path)
+    def xla_fn(c, i, table, ids0):
+        emb = jnp.take(table, (ids0 + i) % rows, axis=0)
+        return c + emb[0, 0]
+
+    results["xla_partitioned"] = timed_scan(
+        xla_fn, jnp.float32(0), reps, table, ids0)
+    print("[mesh] xla_partitioned done", file=sys.stderr, flush=True)
+
+    # 2) masked-gather + psum
+    psum_lookup = make_sharded_lookup_psum(ctx)
+
+    def psum_fn(c, i, table, ids0):
+        emb = psum_lookup(table, (ids0 + i) % rows)
+        return c + emb[0, 0]
+
+    results["psum"] = timed_scan(psum_fn, jnp.float32(0), reps, table, ids0)
+    print("[mesh] psum done", file=sys.stderr, flush=True)
+
+    # 3) capacity-bucketed all-to-all
+    cap = int(2.0 * batch / n_devices)
+    a2a_lookup = make_sharded_lookup_a2a(ctx, capacity=cap)
+
+    def a2a_fn(c, i, table, ids0):
+        emb, overflow = a2a_lookup(table, (ids0 + i) % rows)
+        return c + emb[0, 0] + overflow.astype(jnp.float32) * 0.0
+
+    results["all_to_all"] = timed_scan(a2a_fn, jnp.float32(0), reps, table, ids0)
+    print("[mesh] all_to_all done", file=sys.stderr, flush=True)
+
+    # sharded top-k over a row-sharded catalog
+    catalog_emb = table[:catalog]
+    q0 = jax.device_put(
+        np.random.default_rng(2).normal(size=(q_batch, dim)).astype(np.float32),
+        rep,
+    )
+    sharded_topk = make_sharded_topk(ctx, k=k)
+
+    def stk_fn(c, i, q0, catalog_emb):
+        s, idx = sharded_topk(q0 + i * 1e-9, catalog_emb)
+        return c + s[0, 0]
+
+    results["sharded_topk"] = timed_scan(
+        stk_fn, jnp.float32(0), max(reps // 4, 2), q0, catalog_emb)
+    print("[mesh] sharded_topk done", file=sys.stderr, flush=True)
+
+    ring_topk = make_ring_topk(ctx, k=k)
+
+    def ring_fn(c, i, q0, catalog_emb):
+        s, idx = ring_topk(q0 + i * 1e-9, catalog_emb)
+        return c + s[0, 0]
+
+    results["ring_topk"] = timed_scan(
+        ring_fn, jnp.float32(0), max(reps // 4, 2), q0, catalog_emb)
+
+    return {
+        "mode": "mesh",
+        "platform": jax.devices()[0].platform,
+        "n_devices": n_devices,
+        "table_rows": rows,
+        "dim": dim,
+        "table_gb": round(rows * dim * 4 / 2**30, 2),
+        "rows_per_shard": rows // n_devices,
+        "lookup_batch": batch,
+        "a2a_capacity_per_shard": cap,
+        "lookup_ids_per_s": {
+            name: round(batch / dt, 1)
+            for name, dt in results.items()
+            if name.endswith(("partitioned", "psum", "all_to_all"))
+            or name in ("xla_partitioned", "psum", "all_to_all")
+        },
+        "lookup_ms": {
+            name: round(dt * 1e3, 3)
+            for name, dt in results.items()
+            if name in ("xla_partitioned", "psum", "all_to_all")
+        },
+        "catalog_items": catalog,
+        "topk_k": k,
+        "topk_query_batch": q_batch,
+        "topk_queries_per_s": {
+            name: round(q_batch / results[name], 1)
+            for name in ("sharded_topk", "ring_topk")
+        },
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["chip", "mesh"], required=True)
+    ap.add_argument("--rows", type=int, default=0, help="table rows (0 = mode default)")
+    ap.add_argument("--dim", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=1 << 20)
+    ap.add_argument("--catalog", type=int, default=0)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--q_batch", type=int, default=4096)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--n_devices", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.mode == "chip":
+        rows = args.rows or 16_000_000
+        dim = args.dim or 128
+        catalog = args.catalog or 8_000_000
+        res = bench_chip(rows, dim, args.batch, catalog, args.k,
+                         args.q_batch, args.reps)
+    else:
+        rows = args.rows or 100_000_000
+        dim = args.dim or 16
+        catalog = args.catalog or 8_000_000
+        res = bench_mesh(rows, dim, args.batch, catalog, args.k,
+                         args.q_batch, args.reps, args.n_devices)
+
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    existing = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            existing = json.load(f)
+    existing[res["mode"]] = res
+    with open(RESULTS, "w") as f:
+        json.dump(existing, f, indent=2)
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

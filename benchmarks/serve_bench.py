@@ -113,6 +113,99 @@ def bench_batch(service, user_ids, n_batches: int, batch: int, k: int):
     }
 
 
+def bench_multiworker(model_dir: str, n_requests: int, k: int,
+                      workers: int = 4, client_procs: int = 4,
+                      client_threads: int = 8):
+    """Out-of-process bench: fork `workers` SO_REUSEPORT serving
+    processes via scripts/serve.py (the production multi-worker mode),
+    hammer them with keep-alive connections from separate client
+    processes (so the load generator's GIL doesn't serialize the
+    measurement). This is the honest ~N-core QPS number."""
+    import multiprocessing as mp
+    import signal
+    import socket
+    import subprocess
+
+    # pick a free port
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "scripts", "serve.py"),
+         "--model_dir", model_dir, "--port", str(port),
+         "--workers", str(workers)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    try:
+        # wait for readiness
+        import http.client
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+                c.request("GET", "/health")
+                if c.getresponse().status == 200:
+                    break
+            except OSError:
+                time.sleep(0.5)
+        else:
+            raise RuntimeError("multi-worker server never became healthy")
+
+        def client_proc_fn(n_req, out_q):
+            lock = threading.Lock()
+            count = [0]
+            lat = []
+
+            def one():
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+                while True:
+                    with lock:
+                        count[0] += 1
+                        if count[0] > n_req:
+                            break
+                        uid = count[0] % 6000 + 1
+                    body = json.dumps({"user_id": uid, "k": k})
+                    t0 = time.perf_counter()
+                    try:
+                        conn.request("POST", "/recommend", body,
+                                     {"Content-Type": "application/json"})
+                        conn.getresponse().read()
+                    except Exception:
+                        conn.close()
+                        conn = http.client.HTTPConnection(
+                            "127.0.0.1", port, timeout=30)
+                        continue
+                    with lock:
+                        lat.append((time.perf_counter() - t0) * 1000)
+                conn.close()
+
+            ts = [threading.Thread(target=one) for _ in range(client_threads)]
+            [t.start() for t in ts]
+            [t.join() for t in ts]
+            out_q.put((len(lat), lat))
+
+        q = mp.Queue()
+        procs = [mp.Process(target=client_proc_fn,
+                            args=(n_requests // client_procs, q))
+                 for _ in range(client_procs)]
+        t0 = time.perf_counter()
+        [p.start() for p in procs]
+        results = [q.get() for _ in procs]
+        [p.join() for p in procs]
+        wall = time.perf_counter() - t0
+        total = sum(r[0] for r in results)
+        lat = sum((r[1] for r in results), [])
+        return {"qps": total / wall, "workers": workers,
+                "client_procs": client_procs,
+                "client_threads": client_threads, **_percentiles(lat)}
+    finally:
+        os.killpg(proc.pid, signal.SIGTERM)
+        proc.wait(timeout=30)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_dir", default="outputs/bench_quality/c1/serving")
@@ -121,6 +214,9 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "device", "native"])
+    ap.add_argument("--workers", type=int, default=4,
+                    help="SO_REUSEPORT processes for the multi-worker bench "
+                         "(0 = skip)")
     args = ap.parse_args()
 
     import logging
@@ -149,6 +245,11 @@ def main() -> int:
         "http_single": bench_http(service, user_ids, args.requests,
                                   args.clients, args.k),
     }
+    if args.workers:
+        result["http_multiworker"] = bench_multiworker(
+            args.model_dir, max(args.requests * 10, 20000), args.k,
+            workers=args.workers,
+        )
     os.makedirs("benchmarks/results", exist_ok=True)
     with open("benchmarks/results/serving.json", "w") as f:
         json.dump(result, f, indent=2)

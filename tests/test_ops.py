@@ -43,6 +43,22 @@ def test_blockwise_topk_matches_dense(n_items, block):
     np.testing.assert_array_equal(np.asarray(i_blk), np.asarray(i_ref))
 
 
+def test_blockwise_topk_approx_high_recall():
+    """approx=True (bf16 + per-block approx_max_k) must recover almost
+    all of the exact top-k set; the cross-block merge is exact."""
+    rng = np.random.default_rng(3)
+    q, n, d, k = 16, 4096, 32, 10
+    u = jnp.asarray(rng.normal(size=(q, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    _, i_apx = blockwise_topk(u, v, k, block_size=512, approx=True)
+    _, i_ref = topk_scores(u, v, k, normalize=True)
+    i_apx, i_ref = np.asarray(i_apx), np.asarray(i_ref)
+    recall = np.mean(
+        [len(set(a) & set(b)) / k for a, b in zip(i_apx, i_ref)]
+    )
+    assert recall >= 0.9, recall
+
+
 def test_ring_topk_matches_dense():
     ctx = make_mesh(model_parallel=4)
     rng = np.random.default_rng(2)
