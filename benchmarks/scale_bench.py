@@ -222,10 +222,22 @@ def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
     results["all_to_all"] = timed_scan(a2a_fn, jnp.float32(0), reps, table, ids0)
     print("[mesh] all_to_all done", file=sys.stderr, flush=True)
 
-    # sharded top-k over a row-sharded catalog (smaller than the lookup
-    # table: exact top-k on the CPU-mesh stand-in is compute-bound and
-    # only correctness/shape-scaling is being demonstrated here)
-    catalog_emb = table[:catalog]
+    # sharded top-k over a row-sharded catalog. Built directly at
+    # [catalog, dim] with the rows sharding — slicing the 100M-row
+    # sharded table concentrates the slice on shard 0 and the reshard
+    # dominates the whole bench (36 s for 800k rows measured).
+    print("[mesh] building catalog...", file=sys.stderr, flush=True)
+
+    def make_catalog(_):
+        i = jax.lax.broadcasted_iota(jnp.uint32, (catalog, dim), 0)
+        j = jax.lax.broadcasted_iota(jnp.uint32, (catalog, dim), 1)
+        h = (i * jnp.uint32(2246822519) + j * jnp.uint32(3266489917)) >> 9
+        t = h.astype(jnp.float32) / jnp.float32(2**23) - 1.0
+        return jax.lax.with_sharding_constraint(t, rows_sh)
+
+    with ctx.mesh:
+        catalog_emb = jax.jit(make_catalog, out_shardings=rows_sh)(0)
+    jax.block_until_ready(catalog_emb)
     q0 = jax.device_put(
         np.random.default_rng(2).normal(size=(q_batch, dim)).astype(np.float32),
         rep,
