@@ -208,12 +208,20 @@ def make_http_server(
     return Server((host, port), Handler)
 
 
-def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool) -> None:
+def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
+               stub: bool = False) -> None:
     service: Optional[RecommendationService] = None
-    try:
-        service = RecommendationService(model_dir).load()
-    except Exception:
-        logger.exception("model load failed; serving in degraded mode (503s)")
+    if stub:
+        from recsys_tpu.serve.service import StubRecommendationService
+
+        service = StubRecommendationService()
+    else:
+        try:
+            service = RecommendationService(model_dir).load()
+        except Exception:
+            logger.exception(
+                "model load failed; serving in degraded mode (503s)"
+            )
     server = make_http_server(service, host, port, reuse_port=reuse_port)
     logger.info("serving on %s:%d (model_dir=%s)", host, port, model_dir)
     server.serve_forever()
@@ -224,6 +232,7 @@ def serve_forever(
     host: str = "0.0.0.0",
     port: int = 8000,
     workers: int = 1,
+    stub: bool = False,
 ) -> None:
     """Load the inference bundle and serve (uvicorn-replacement entry).
     Startup-failure contract parity (``app/main.py:105-119``): if the
@@ -236,7 +245,7 @@ def serve_forever(
     not share one accelerator. Each worker loads AFTER the fork so no
     JAX/device state crosses the fork boundary."""
     if workers <= 1:
-        _serve_one(model_dir, host, port, reuse_port=False)
+        _serve_one(model_dir, host, port, reuse_port=False, stub=stub)
         return
     import os as _os
     import signal as _signal
@@ -245,7 +254,7 @@ def serve_forever(
     for _ in range(workers):
         pid = _os.fork()
         if pid == 0:
-            _serve_one(model_dir, host, port, reuse_port=True)
+            _serve_one(model_dir, host, port, reuse_port=True, stub=stub)
             _os._exit(0)
         pids.append(pid)
     logger.info("forked %d serving workers on %s:%d", workers, host, port)

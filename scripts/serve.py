@@ -32,18 +32,10 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
 
-    if args.stub:
-        from recsys_tpu.serve.app import make_http_server
-        from recsys_tpu.serve.service import StubRecommendationService
-
-        server = make_http_server(StubRecommendationService(), args.host, args.port)
-        logging.getLogger("serve").info("stub serving on %s:%d", args.host, args.port)
-        server.serve_forever()
-        return 0
-
     from recsys_tpu.serve.app import serve_forever
 
-    serve_forever(args.model_dir, args.host, args.port, workers=args.workers)
+    serve_forever(args.model_dir, args.host, args.port,
+                  workers=args.workers, stub=args.stub)
     return 0
 
 

@@ -179,3 +179,45 @@ def test_http_not_ready_503():
         assert code == 503
     finally:
         server.shutdown()
+
+
+def test_multiworker_serving_subprocess(tmp_path):
+    """--workers N forks SO_REUSEPORT processes; requests round-robin
+    across them and SIGTERM reaps the whole tree (serve/app.py
+    serve_forever)."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys as _sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [_sys.executable, os.path.join(repo, "scripts", "serve.py"),
+         "--stub", "--port", str(port), "--workers", "2"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    try:
+        deadline = time.time() + 60
+        code = None
+        while time.time() < deadline:
+            try:
+                code, body = _req(port, "GET", "/health")
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert code == 200, "multi-worker server never became healthy"
+        for _ in range(4):  # hits land on both workers via reuseport
+            code, body = _req(port, "POST", "/recommend",
+                              {"user_id": 1, "k": 3})
+            assert code == 200 and body["count"] == 3
+    finally:
+        os.killpg(proc.pid, signal.SIGTERM)
+        assert proc.wait(timeout=30) is not None
