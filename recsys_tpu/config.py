@@ -155,6 +155,16 @@ class TrainConfig:
     device_resident_data: bool = True
     device_data_limit_mb: int = 2048
     profile: bool = False  # jax.profiler trace capture around a training window
+    # Sparse embedding-table updates: gradients and adagrad updates
+    # touch only the B rows a batch references (duplicates combined to
+    # match dense scatter-add semantics exactly) instead of
+    # materializing a dense [V, D] gradient + updating all V rows.
+    # O(B·D) instead of O(V·D) per step — required at configs[4]-scale
+    # tables (a dense step on a 16M x 128 table moves ~24 GB of HBM
+    # traffic in the optimizer alone). adagrad-only (sparse adam has
+    # lazy-moment semantics, not implemented); ignored for other
+    # optimizers and for the explicit-negatives path.
+    sparse_table_updates: bool = False
     # Dropout-mask PRNG: "rbg" uses the hardware RngBitGenerator
     # (threefry mask generation alone is ~45% of a B=4096 step on a
     # v5e chip; rbg recovers it — 0.93 -> 0.53 ms/step measured).

@@ -101,6 +101,11 @@ class MultiTaskModel:
             params["towers"]["item_bias"],
             jnp.clip(batch["movie_id"], 0, n_bias),
         )
+        # ids used for accidental-hit masking: normally the movie ids,
+        # but the sparse-table-update path feeds virtual row ids
+        # (arange) through "movie_id" and the TRUE ids through
+        # "mask_ids" so duplicate detection still works.
+        mask_ids = batch.get("mask_ids", batch["movie_id"])
         # the B x B logits matmul dominates the step at large batch; run
         # it on the MXU in bf16 (fp32 accumulation inside the dot)
         emb_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
@@ -110,7 +115,7 @@ class MultiTaskModel:
             retr = in_batch_softmax_flash(
                 out.user_embedding.astype(emb_dtype),
                 out.item_embedding.astype(emb_dtype),
-                item_ids=batch["movie_id"],
+                item_ids=mask_ids,
                 mask=mask,
                 log_q=batch.get("log_q"),
                 item_bias=bias,
@@ -119,7 +124,7 @@ class MultiTaskModel:
             retr = losses.in_batch_softmax(
                 out.user_embedding.astype(emb_dtype),
                 out.item_embedding.astype(emb_dtype),
-                item_ids=batch["movie_id"],
+                item_ids=mask_ids,
                 axis_name=data_axis if global_negatives else None,
                 mask=mask,
                 log_q=batch.get("log_q"),

@@ -111,15 +111,94 @@ def adam(
     return Optimizer(init, update)
 
 
-def make_optimizer(train_cfg) -> Optimizer:
-    """Build the configured optimizer from a TrainConfig."""
-    sched = exponential_decay(
+def combine_duplicate_rows(ids: jnp.ndarray, row_grads: jnp.ndarray):
+    """Sum per-occurrence row gradients over duplicate ids (the dense
+    scatter-add semantics) with static shapes. Returns
+    ``(slot_ids [B], combined [B, ...], valid [B])`` where slot ``s`` with
+    ``valid[s]`` holds the summed gradient for id ``slot_ids[s]``; invalid
+    tail slots carry zeros and an out-of-range id.
+    """
+    b = ids.shape[0]
+    order = jnp.argsort(ids)
+    sid = jnp.take(ids, order)
+    sg = jnp.take(row_grads, order, axis=0)
+    first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(first) - 1                      # segment index per row
+    combined = jax.ops.segment_sum(sg, seg, num_segments=b)
+    slot_ids = jax.ops.segment_max(sid, seg, num_segments=b)
+    valid = jnp.arange(b) < seg[-1] + 1
+    # invalid tail slots get distinct ascending out-of-range ids
+    # (< 2^30-row tables assumed — 2^30 x 128 fp32 is 512 GB, far past
+    # one chip). NOTE: do NOT add unique_indices/indices_are_sorted
+    # hints to the downstream scatters — measured 8x SLOWER on v5e
+    # (2.5 -> 20 ms/step on a 6M-row-table model).
+    oob = jnp.int32(2**30) + jnp.arange(b, dtype=jnp.int32)
+    return jnp.where(valid, slot_ids, oob), combined, valid
+
+
+def sparse_adagrad_combined(
+    table: jnp.ndarray,
+    accum: jnp.ndarray,
+    slot_ids: jnp.ndarray,
+    combined: jnp.ndarray,
+    valid: jnp.ndarray,
+    lr: jnp.ndarray,
+    eps: float = 1e-7,
+    grad_scale=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Adagrad over pre-combined unique-row gradients (see
+    :func:`combine_duplicate_rows`). ``grad_scale`` folds in a
+    global-norm clip factor computed by the caller."""
+    if grad_scale is not None:
+        combined = combined * grad_scale
+    vshape = (-1,) + (1,) * (combined.ndim - 1)
+    vmask = valid.reshape(vshape)
+    safe = jnp.clip(slot_ids, 0, accum.shape[0] - 1)
+    acc_rows = jnp.take(accum, safe, axis=0)
+    acc_rows = acc_rows + jnp.where(vmask, jnp.square(combined), 0.0)
+    accum = accum.at[slot_ids].set(acc_rows, mode="drop")
+    delta = lr * combined / (jnp.sqrt(acc_rows) + eps)
+    table = table.at[slot_ids].add(jnp.where(vmask, -delta, 0.0), mode="drop")
+    return table, accum
+
+
+def sparse_adagrad_rows(
+    table: jnp.ndarray,
+    accum: jnp.ndarray,
+    ids: jnp.ndarray,
+    row_grads: jnp.ndarray,
+    lr: jnp.ndarray,
+    eps: float = 1e-7,
+    grad_scale=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Adagrad applied only to the rows of ``table`` named by ``ids``
+    ([B] per-occurrence ids with matching ``row_grads`` [B, ...]).
+
+    Bit-for-bit the dense update restricted to touched rows (adagrad
+    has no decay on untouched slots, unlike adam): duplicates are
+    summed first, then ``accum[ids] += g²; table[ids] -= lr·g/√accum``.
+    O(B·d) memory traffic instead of O(V·d) — the difference between a
+    sub-ms and a tens-of-ms step on a 16M-row table.
+    """
+    slot_ids, combined, valid = combine_duplicate_rows(ids, row_grads)
+    return sparse_adagrad_combined(
+        table, accum, slot_ids, combined, valid, lr, eps, grad_scale
+    )
+
+
+def make_schedule(train_cfg) -> Schedule:
+    return exponential_decay(
         train_cfg.learning_rate,
         train_cfg.lr_decay_steps,
         train_cfg.lr_decay_rate,
         train_cfg.lr_staircase,
         train_cfg.warmup_steps,
     )
+
+
+def make_optimizer(train_cfg) -> Optimizer:
+    """Build the configured optimizer from a TrainConfig."""
+    sched = make_schedule(train_cfg)
     if train_cfg.optimizer == "adagrad":
         return adagrad(sched, clipnorm=train_cfg.clipnorm)
     if train_cfg.optimizer == "adam":

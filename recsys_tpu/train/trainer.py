@@ -163,34 +163,10 @@ class Trainer:
     # ---- compiled step ----------------------------------------------
     def make_train_step(self, class_weights, example_batch, use_explicit_negs: bool):
         cfg = self.config
-        opt = self.optimizer
         shape = jax.eval_shape(lambda s: s, self._state_for_shape)
         state_sh = self.state_shardings(shape)
         batch_sh = self.batch_sharding_tree(example_batch)
-
-        def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
-            rng = _dropout_key(
-                cfg.train.dropout_rng_impl, state.rng, state.step
-            )
-            neg_ids = batch.pop("neg_ids") if use_explicit_negs else None
-            (loss, metrics), grads = jax.value_and_grad(
-                MultiTaskModel.loss, has_aux=True
-            )(
-                state.params,
-                cfg.model,
-                batch,
-                key=rng,
-                train=True,
-                class_weights=class_weights,
-                neg_item_ids=neg_ids,
-            )
-            new_params, new_opt = opt.update(
-                grads, state.opt_state, state.params, state.step
-            )
-            new_state = TrainState(
-                new_params, new_opt, state.step + 1, state.rng
-            )
-            return new_state, metrics
+        step_fn = self._step_core(class_weights, use_explicit_negs)
 
         donate = (0,) if cfg.train.donate_state else ()
         return jax.jit(
@@ -203,6 +179,12 @@ class Trainer:
     def _step_core(self, class_weights, use_explicit_negs: bool):
         cfg = self.config
         opt = self.optimizer
+        if (
+            cfg.train.sparse_table_updates
+            and cfg.train.optimizer == "adagrad"
+            and not use_explicit_negs
+        ):
+            return self._step_core_sparse(class_weights)
 
         def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
             rng = _dropout_key(
@@ -224,6 +206,130 @@ class Trainer:
                 grads, state.opt_state, state.params, state.step
             )
             return TrainState(new_params, new_opt, state.step + 1, state.rng), metrics
+
+        return step_fn
+
+    _TABLE_KEYS = ("user_table", "item_table", "item_bias")
+
+    def _step_core_sparse(self, class_weights):
+        """Sparse-embedding-update train step
+        (``TrainConfig.sparse_table_updates``).
+
+        The batch's table rows are gathered up front and spliced into a
+        *virtual* params tree (tables of exactly B rows, ids remapped to
+        ``arange(B)`` with the true ids carried via ``mask_ids`` for
+        accidental-hit masking), so autodiff produces per-occurrence
+        [B, D] row gradients instead of a dense [V, D] scatter.
+        Duplicates are then combined (dense scatter-add semantics),
+        global-norm clipping is computed over dense grads + combined
+        row grads (identical value to the dense path — untouched rows
+        contribute zero), dense params go through plain adagrad, and
+        tables/accumulators get touched-rows-only updates. Numerically
+        equivalent to the dense step; O(B·D) instead of O(V·D)."""
+        from recsys_tpu.train import optimizer as opt_lib
+
+        cfg = self.config
+        sched = opt_lib.make_schedule(cfg.train)
+        noclip = opt_lib.adagrad(sched, clipnorm=0.0)
+        clipnorm = cfg.train.clipnorm
+        keys = self._TABLE_KEYS
+
+        def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
+            rng = _dropout_key(
+                cfg.train.dropout_rng_impl, state.rng, state.step
+            )
+            params = state.params
+            tw = params["towers"]
+            b = batch["user_id"].shape[0]
+            uid = jnp.clip(batch["user_id"], 0, tw["user_table"].shape[0] - 1)
+            mid = jnp.clip(batch["movie_id"], 0, tw["item_table"].shape[0] - 1)
+            bid = jnp.clip(batch["movie_id"], 0, tw["item_bias"].shape[0] - 1)
+            virt_tw = {
+                **tw,
+                "user_table": jnp.take(tw["user_table"], uid, axis=0),
+                "item_table": jnp.take(tw["item_table"], mid, axis=0),
+                "item_bias": jnp.take(tw["item_bias"], bid),
+            }
+            ar = jnp.arange(b, dtype=jnp.int32)
+            vbatch = {
+                **batch,
+                "user_id": ar,
+                "movie_id": ar,
+                "mask_ids": batch["movie_id"],
+            }
+            (loss, metrics), grads = jax.value_and_grad(
+                MultiTaskModel.loss, has_aux=True
+            )(
+                {**params, "towers": virt_tw},
+                cfg.model,
+                vbatch,
+                key=rng,
+                train=True,
+                class_weights=class_weights,
+            )
+            gtw = grads["towers"]
+            comb = {
+                "user_table": opt_lib.combine_duplicate_rows(
+                    uid, gtw["user_table"]
+                ),
+                "item_table": opt_lib.combine_duplicate_rows(
+                    mid, gtw["item_table"]
+                ),
+                "item_bias": opt_lib.combine_duplicate_rows(
+                    bid, gtw["item_bias"]
+                ),
+            }
+            dense_grads = {
+                **grads,
+                "towers": {k: v for k, v in gtw.items() if k not in keys},
+            }
+            if clipnorm > 0:
+                sq = sum(
+                    jnp.sum(jnp.square(g))
+                    for g in jax.tree.leaves(dense_grads)
+                )
+                sq += sum(jnp.sum(jnp.square(c[1])) for c in comb.values())
+                scale = jnp.minimum(
+                    1.0, clipnorm / jnp.maximum(jnp.sqrt(sq), 1e-12)
+                )
+            else:
+                scale = jnp.float32(1.0)
+            dense_grads = jax.tree.map(lambda g: g * scale, dense_grads)
+
+            dense_params = {
+                **params,
+                "towers": {k: v for k, v in tw.items() if k not in keys},
+            }
+            acc = state.opt_state["accum"]
+            dense_acc = {
+                **acc,
+                "towers": {
+                    k: v for k, v in acc["towers"].items() if k not in keys
+                },
+            }
+            new_dense, new_dense_opt = noclip.update(
+                dense_grads,
+                {"accum": dense_acc},
+                dense_params,
+                state.step,
+            )
+            lr = sched(state.step)
+            new_tw = dict(new_dense["towers"])
+            new_acc_tw = dict(new_dense_opt["accum"]["towers"])
+            for k in keys:
+                slot, c, valid = comb[k]
+                new_tw[k], new_acc_tw[k] = opt_lib.sparse_adagrad_combined(
+                    tw[k], acc["towers"][k], slot, c, valid, lr,
+                    grad_scale=scale,
+                )
+            new_params = {**new_dense, "towers": new_tw}
+            new_opt = {
+                "accum": {**new_dense_opt["accum"], "towers": new_acc_tw}
+            }
+            return (
+                TrainState(new_params, new_opt, state.step + 1, state.rng),
+                metrics,
+            )
 
         return step_fn
 

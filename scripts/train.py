@@ -89,6 +89,11 @@ def main(argv=None) -> int:
     ap.add_argument("--eval_sample", type=int, default=0,
                     help="0 = full-split eval; N = reference-style sampled eval")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    dest="overrides",
+                    help="dotted config override for any field, e.g. "
+                         "--set train.sparse_table_updates=true "
+                         "--set model.dropout_rate=0.3 (JSON-parsed values)")
     args = ap.parse_args(argv)
 
     from recsys_tpu.utils.metrics_io import setup_logging
@@ -101,6 +106,19 @@ def main(argv=None) -> int:
     maybe_initialize_distributed()
 
     cfg = build_config(args)
+    if args.overrides:
+        import json as _json
+
+        parsed = {}
+        for kv in args.overrides:
+            if "=" not in kv:
+                ap.error(f"--set expects KEY=VALUE, got {kv!r}")
+            k, v = kv.split("=", 1)
+            try:
+                parsed[k] = _json.loads(v)
+            except _json.JSONDecodeError:
+                parsed[k] = v  # bare string
+        cfg = cfg.replace(**parsed)
     logger.info("config:\n%s", cfg.to_json())
 
     from recsys_tpu.data.preprocessing import load_bundle

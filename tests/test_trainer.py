@@ -119,3 +119,92 @@ def test_resume_from_checkpoint(tiny_bundle, tmp_path):
     assert step_after_2 > step_after_1
     # resumed run did not restart from step 0
     assert step_after_2 <= 2 * step_after_1
+
+
+def test_sparse_table_updates_match_dense():
+    """The sparse-embedding-update step (touched-rows-only adagrad,
+    trainer._step_core_sparse) must be numerically equivalent to the
+    dense step — including duplicate ids in a batch (scatter-add
+    combine), global-norm clipping, and the LR schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    n_users, n_items, b = 40, 30, 64
+    rng = np.random.default_rng(0)
+    batch = {
+        # heavy duplication to stress the combine path
+        "user_id": rng.integers(0, 8, b).astype(np.int32),
+        "movie_id": rng.integers(0, 6, b).astype(np.int32),
+        "rating": rng.uniform(1, 5, b).astype(np.float32),
+        "y_implicit": (rng.random(b) > 0.5).astype(np.float32),
+        "log_q": rng.normal(size=b).astype(np.float32),
+    }
+
+    def run(sparse: bool):
+        cfg = RecsysConfig(
+            model=TINY_MODEL,
+            train=TrainConfig(
+                batch_size=b, epochs=1, optimizer="adagrad",
+                learning_rate=0.05, clipnorm=1.0, warmup_steps=2,
+                sparse_table_updates=sparse, donate_state=False,
+            ),
+            eval=EvalConfig(topk=(5,)),
+        )
+        ctx = make_mesh(model_parallel=1)
+        tr = Trainer(cfg, output_dir="/tmp/sparse_eq", mesh_ctx=ctx)
+        state = tr.init_state(n_users, n_items, seed=0)
+        tr._state_for_shape = state
+        step = jax.jit(tr._step_core((1.2, 0.9), False))
+        for _ in range(5):
+            state, metrics = step(state, dict(batch))
+        return jax.device_get(state.params), float(metrics["loss"])
+
+    p_dense, l_dense = run(False)
+    p_sparse, l_sparse = run(True)
+    assert np.isclose(l_dense, l_sparse, rtol=1e-5), (l_dense, l_sparse)
+    flat_d = jax.tree_util.tree_flatten_with_path(p_dense)[0]
+    flat_s = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(p_sparse)[0]}
+    for k, vd in flat_d:
+        vs = flat_s[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            vd, vs, rtol=2e-5, atol=2e-6, err_msg=jax.tree_util.keystr(k)
+        )
+
+
+def test_sparse_table_updates_sharded_rows():
+    """Sparse updates compose with row-sharded tables on the mesh."""
+    import jax
+
+    n_users, n_items, b = 64, 48, 32
+    rng = np.random.default_rng(1)
+    batch = {
+        "user_id": rng.integers(0, n_users, b).astype(np.int32),
+        "movie_id": rng.integers(0, n_items, b).astype(np.int32),
+        "rating": rng.uniform(1, 5, b).astype(np.float32),
+        "y_implicit": (rng.random(b) > 0.5).astype(np.float32),
+        "log_q": rng.normal(size=b).astype(np.float32),
+    }
+    cfg = RecsysConfig(
+        model=TINY_MODEL,
+        mesh=MeshConfig(model_axis=2, embedding_sharding="rows"),
+        train=TrainConfig(
+            batch_size=b, epochs=1, optimizer="adagrad",
+            sparse_table_updates=True, donate_state=False,
+        ),
+        eval=EvalConfig(topk=(5,)),
+    )
+    ctx = make_mesh(model_parallel=2)
+    tr = Trainer(cfg, output_dir="/tmp/sparse_sh", mesh_ctx=ctx)
+    state = tr.init_state(n_users, n_items, seed=0)
+    tr._state_for_shape = state
+    step = tr.make_train_step((1.0, 1.0), batch, False)
+    from recsys_tpu.parallel.sharding import shard_batch
+
+    placed = shard_batch(ctx, batch)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, placed)
+        losses.append(float(np.asarray(metrics["loss"])))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
