@@ -292,9 +292,83 @@ def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
     }
 
 
+def bench_train(n_users: int, n_items: int, dim: int, batch: int,
+                reps: int) -> dict:
+    """Giant-table TRAIN step, sparse vs dense embedding updates
+    (``TrainConfig.sparse_table_updates``) on the full multi-task model."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+
+    from recsys_tpu.config import (
+        EvalConfig, ModelConfig, RecsysConfig, TrainConfig,
+    )
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "user_id": rng.integers(0, n_users, batch).astype(np.int32),
+        "movie_id": rng.integers(0, n_items, batch).astype(np.int32),
+        "rating": rng.uniform(1, 5, batch).astype(np.float32),
+        "y_implicit": (rng.random(batch) > 0.4).astype(np.float32),
+        "log_q": np.full(batch, -np.log(n_items), np.float32),
+    }
+    placed = {k: jax.device_put(v) for k, v in batch_np.items()}
+    out = {}
+    for sparse in (True, False):
+        cfg = RecsysConfig(
+            model=ModelConfig(embedding_dim=dim, mixed_precision=True,
+                              dropout_rate=0.2),
+            train=TrainConfig(batch_size=batch, epochs=1,
+                              optimizer="adagrad",
+                              sparse_table_updates=sparse,
+                              donate_state=False),
+            eval=EvalConfig(topk=(10,)),
+        )
+        ctx = make_mesh(model_parallel=1)
+        tr = Trainer(cfg, output_dir="/tmp/scale_train", mesh_ctx=ctx)
+        state = tr.init_state(n_users, n_items, seed=0)
+        jax.block_until_ready(state.params["towers"]["user_table"])
+        tr._state_for_shape = state
+        step_fn = tr._step_core((1.3, 0.8), False)
+        n = reps if sparse else max(reps // 5, 4)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def rep(st):
+            def body(s, _):
+                s2, m = step_fn(s, dict(placed))
+                return s2, m["loss"]
+            s, ls = jax.lax.scan(body, st, jnp.arange(n))
+            return s, ls[-1]
+
+        s2, last = rep(state)
+        _ = float(last)
+        t0 = time.perf_counter()
+        s2, last = rep(s2)
+        _ = float(last)
+        dt = (time.perf_counter() - t0) / n
+        key = "sparse" if sparse else "dense"
+        out[f"step_ms_{key}"] = round(dt * 1e3, 3)
+        out[f"examples_per_s_{key}"] = round(batch / dt, 1)
+        del s2, state
+    out.update({
+        "mode": "train",
+        "platform": jax.devices()[0].platform,
+        "n_users": n_users,
+        "n_items": n_items,
+        "dim": dim,
+        "tables_gb": round((n_users + n_items) * dim * 4 / 2**30, 2),
+        "batch": batch,
+        "speedup_sparse_vs_dense": round(
+            out["step_ms_dense"] / out["step_ms_sparse"], 1),
+    })
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["chip", "mesh"], required=True)
+    ap.add_argument("--mode", choices=["chip", "mesh", "train"], required=True)
     ap.add_argument("--rows", type=int, default=0, help="table rows (0 = mode default)")
     ap.add_argument("--dim", type=int, default=0)
     ap.add_argument("--batch", type=int, default=1 << 20)
@@ -311,6 +385,11 @@ def main() -> int:
         catalog = args.catalog or 8_000_000
         res = bench_chip(rows, dim, args.batch, catalog, args.k,
                          args.q_batch, args.reps)
+    elif args.mode == "train":
+        rows = args.rows or 4_000_000
+        dim = args.dim or 64
+        res = bench_train(rows, rows // 2, dim, min(args.batch, 4096),
+                          max(args.reps, 100))
     else:
         rows = args.rows or 100_000_000
         dim = args.dim or 16
