@@ -161,10 +161,14 @@ class TrainConfig:
     # materializing a dense [V, D] gradient + updating all V rows.
     # O(B·D) instead of O(V·D) per step — required at configs[4]-scale
     # tables (a dense step on a 16M x 128 table moves ~24 GB of HBM
-    # traffic in the optimizer alone). adagrad-only (sparse adam has
-    # lazy-moment semantics, not implemented); ignored for other
-    # optimizers and for the explicit-negatives path.
-    sparse_table_updates: bool = False
+    # traffic in the optimizer alone; measured 12.6x on a 6M-row-table
+    # model). On tiny tables the sort/segment/scatter overhead loses
+    # (~0.46 ms at B=4096), so "auto" (default) picks sparse only when
+    # the tables exceed ~32M elements (the measured crossover on v5e).
+    # adagrad-only (sparse adam has lazy-moment semantics, not
+    # implemented); ignored for other optimizers and for the
+    # explicit-negatives path. Values: "auto" | True | False.
+    sparse_table_updates: Any = "auto"
     # Dropout-mask PRNG: "rbg" uses the hardware RngBitGenerator
     # (threefry mask generation alone is ~45% of a B=4096 step on a
     # v5e chip; rbg recovers it — 0.93 -> 0.53 ms/step measured).

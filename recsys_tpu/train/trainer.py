@@ -176,11 +176,27 @@ class Trainer:
             donate_argnums=donate,
         )
 
+    # sparse-vs-dense crossover (v5e-measured): below ~32M table
+    # elements the dense update's full-table traffic is cheaper than the
+    # sparse path's sort/segment/scatter overhead (~0.46 ms at B=4096)
+    SPARSE_AUTO_THRESHOLD = 32_000_000
+
+    def _resolve_sparse_updates(self) -> bool:
+        stu = self.config.train.sparse_table_updates
+        if stu != "auto":
+            return bool(stu)
+        state = getattr(self, "_state_for_shape", None)
+        if state is None:
+            return False
+        tw = state.params["towers"]
+        elems = tw["user_table"].size + tw["item_table"].size
+        return elems > self.SPARSE_AUTO_THRESHOLD
+
     def _step_core(self, class_weights, use_explicit_negs: bool):
         cfg = self.config
         opt = self.optimizer
         if (
-            cfg.train.sparse_table_updates
+            self._resolve_sparse_updates()
             and cfg.train.optimizer == "adagrad"
             and not use_explicit_negs
         ):
