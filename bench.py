@@ -45,7 +45,6 @@ def get_bundle(num_ratings: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--ratings", type=int, default=1_000_209)
@@ -100,8 +99,11 @@ def main() -> int:
     # reading the last step's loss back to the host. A per-step Python
     # dispatch loop over the remote-TPU tunnel measures the tunnel, and
     # block_until_ready alone returns early through the relay.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_sh = NamedSharding(ctx.mesh, P(None, ctx.data_axis))
     stacked = {
-        k: jax.device_put(np.stack([b[k] for b in batches]))
+        k: jax.device_put(np.stack([b[k] for b in batches]), data_sh)
         for k in batches[0]
     }
     step_core = trainer._step_core(class_weights, False)

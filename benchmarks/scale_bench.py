@@ -46,18 +46,9 @@ RESULTS = os.path.join(
 
 
 def _force_cpu_mesh(n_devices: int) -> None:
-    import jax
+    from recsys_tpu.parallel.mesh import force_virtual_cpu_devices
 
-    try:
-        have = len(jax.devices())
-    except RuntimeError:
-        have = 0
-    if have < n_devices:
-        import jax.extend.backend as jeb
-
-        jeb.clear_backends()
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", n_devices)
+    force_virtual_cpu_devices(n_devices)
 
 
 def timed_scan(fn, carry, reps: int, *args):
@@ -175,15 +166,18 @@ def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
     print(f"[mesh] building {rows}x{dim} sharded table...",
           file=sys.stderr, flush=True)
 
-    def make_table(_):
-        i = jax.lax.broadcasted_iota(jnp.uint32, (rows, dim), 0)
-        j = jax.lax.broadcasted_iota(jnp.uint32, (rows, dim), 1)
-        h = (i * jnp.uint32(2654435761) + j * jnp.uint32(40503)) >> 9
-        t = h.astype(jnp.float32) / jnp.float32(2**23) - 1.0
-        return jax.lax.with_sharding_constraint(t, rows_sh)
+    def hashed_fill(n_rows, c1, c2):
+        def fill(_):
+            i = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, dim), 0)
+            j = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, dim), 1)
+            h = (i * jnp.uint32(c1) + j * jnp.uint32(c2)) >> 9
+            t = h.astype(jnp.float32) / jnp.float32(2**23) - 1.0
+            return jax.lax.with_sharding_constraint(t, rows_sh)
 
-    with ctx.mesh:
-        table = jax.jit(make_table, out_shardings=rows_sh)(0)
+        with ctx.mesh:
+            return jax.jit(fill, out_shardings=rows_sh)(0)
+
+    table = hashed_fill(rows, 2654435761, 40503)
     jax.block_until_ready(table)
     print("[mesh] table ready", file=sys.stderr, flush=True)
 
@@ -228,15 +222,7 @@ def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
     # dominates the whole bench (36 s for 800k rows measured).
     print("[mesh] building catalog...", file=sys.stderr, flush=True)
 
-    def make_catalog(_):
-        i = jax.lax.broadcasted_iota(jnp.uint32, (catalog, dim), 0)
-        j = jax.lax.broadcasted_iota(jnp.uint32, (catalog, dim), 1)
-        h = (i * jnp.uint32(2246822519) + j * jnp.uint32(3266489917)) >> 9
-        t = h.astype(jnp.float32) / jnp.float32(2**23) - 1.0
-        return jax.lax.with_sharding_constraint(t, rows_sh)
-
-    with ctx.mesh:
-        catalog_emb = jax.jit(make_catalog, out_shardings=rows_sh)(0)
+    catalog_emb = hashed_fill(catalog, 2246822519, 3266489917)
     jax.block_until_ready(catalog_emb)
     q0 = jax.device_put(
         np.random.default_rng(2).normal(size=(q_batch, dim)).astype(np.float32),
@@ -274,8 +260,7 @@ def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
         "lookup_ids_per_s": {
             name: round(batch / dt, 1)
             for name, dt in results.items()
-            if name.endswith(("partitioned", "psum", "all_to_all"))
-            or name in ("xla_partitioned", "psum", "all_to_all")
+            if name in ("xla_partitioned", "psum", "all_to_all")
         },
         "lookup_ms": {
             name: round(dt * 1e3, 3)

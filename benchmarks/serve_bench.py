@@ -146,13 +146,23 @@ def bench_multiworker(model_dir: str, n_requests: int, k: int,
         while time.time() < deadline:
             try:
                 c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
-                c.request("GET", "/health")
-                if c.getresponse().status == 200:
-                    break
+                try:
+                    c.request("GET", "/health")
+                    r = c.getresponse()
+                    body = json.loads(r.read())
+                    # /health answers 200 even in degraded (503-serving)
+                    # mode -- require the model to actually be loaded so
+                    # we never benchmark error responses as QPS
+                    if r.status == 200 and body.get("model_loaded"):
+                        break
+                finally:
+                    c.close()
             except OSError:
-                time.sleep(0.5)
+                pass
+            time.sleep(0.5)
         else:
-            raise RuntimeError("multi-worker server never became healthy")
+            raise RuntimeError("multi-worker server never became ready "
+                               "(model_loaded never true)")
 
         def client_proc_fn(n_req, out_q):
             lock = threading.Lock()
@@ -172,12 +182,17 @@ def bench_multiworker(model_dir: str, n_requests: int, k: int,
                     try:
                         conn.request("POST", "/recommend", body,
                                      {"Content-Type": "application/json"})
-                        conn.getresponse().read()
+                        r = conn.getresponse()
+                        r.read()
+                        status = r.status
                     except Exception:
                         conn.close()
                         conn = http.client.HTTPConnection(
                             "127.0.0.1", port, timeout=30)
                         continue
+                    if status != 200:
+                        raise RuntimeError(
+                            f"/recommend returned {status} during bench")
                     with lock:
                         lat.append((time.perf_counter() - t0) * 1000)
                 conn.close()

@@ -75,6 +75,25 @@ class MeshContext:
         return global_batch // self.n_data
 
 
+def force_virtual_cpu_devices(n_devices: int) -> None:
+    """Ensure at least ``n_devices`` JAX devices exist by switching to a
+    virtual CPU pool when needed. Safe to call after another backend
+    (e.g. a single-chip TPU) has initialized: cached backends are
+    dropped FIRST, then the CPU platform is selected with an explicit
+    device count (``jax_num_cpu_devices`` bypasses the one-shot
+    process-wide XLA_FLAGS parse)."""
+    try:
+        have = len(jax.devices())
+    except RuntimeError:
+        have = 0
+    if have < n_devices:
+        import jax.extend.backend as _jeb
+
+        _jeb.clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_devices)
+
+
 def make_mesh(
     model_parallel: int = 1,
     data_parallel: int = -1,

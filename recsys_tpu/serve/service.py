@@ -44,10 +44,15 @@ class RecommendationService:
     "native" (C++ multithreaded exact top-k, the CPU-host fallback in
     the FAISS role), or "auto" (native when no accelerator is present)."""
 
-    def __init__(self, model_dir: str, backend: str = "auto"):
+    def __init__(self, model_dir: str, backend: str = "auto",
+                 approx_search_threshold: int = 1_000_000):
         if backend not in ("auto", "device", "native"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
+        # device backend: catalogs larger than this stream blocks with
+        # the hardware approx_max_k (recall@10 0.999 vs exact measured
+        # at 8M items / dim 128). 0 disables approx entirely.
+        self.approx_search_threshold = approx_search_threshold
         self.model_dir = model_dir
         self.config: Optional[RecsysConfig] = None
         self.encoder_params = None
@@ -115,10 +120,12 @@ class RecommendationService:
             order = np.argsort(-ps, axis=1)
             idx = np.take_along_axis(part, order, axis=1)
             return np.take_along_axis(scores, idx, axis=1), idx
-        # device backend: past ~1M items the dense [Q, N] scorer stops
-        # fitting comfortably; stream blocks with the hardware
+        # device backend: past the threshold the dense [Q, N] scorer
+        # stops fitting comfortably; stream blocks with the hardware
         # approx_max_k (26.7x at 8M items, recall@10 0.999 vs exact)
-        if len(self.item_id_map) > 1_000_000:
+        n_index_rows = self.index.item_embeddings_np.shape[0]
+        if (self.approx_search_threshold
+                and n_index_rows > self.approx_search_threshold):
             return self.index.search(u_emb, k, approx=True)
         return self.index.search(u_emb, k)
 

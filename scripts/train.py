@@ -22,7 +22,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import logging
-import sys
 
 
 def build_config(args):
@@ -114,10 +113,16 @@ def main(argv=None) -> int:
             if "=" not in kv:
                 ap.error(f"--set expects KEY=VALUE, got {kv!r}")
             k, v = kv.split("=", 1)
-            try:
-                parsed[k] = _json.loads(v)
-            except _json.JSONDecodeError:
-                parsed[k] = v  # bare string
+            lowered = v.strip().lower()
+            if lowered in ("true", "false"):
+                parsed[k] = lowered == "true"
+            elif lowered in ("none", "null"):
+                parsed[k] = None
+            else:
+                try:
+                    parsed[k] = _json.loads(v)
+                except _json.JSONDecodeError:
+                    parsed[k] = v  # bare string
         cfg = cfg.replace(**parsed)
     logger.info("config:\n%s", cfg.to_json())
 
