@@ -209,7 +209,7 @@ def make_http_server(
 
 
 def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
-               stub: bool = False) -> None:
+               stub: bool = False, rerank_candidates: int = 0) -> None:
     service: Optional[RecommendationService] = None
     if stub:
         from recsys_tpu.serve.service import StubRecommendationService
@@ -217,7 +217,9 @@ def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
         service = StubRecommendationService()
     else:
         try:
-            service = RecommendationService(model_dir).load()
+            service = RecommendationService(
+                model_dir, rerank_candidates=rerank_candidates
+            ).load()
         except Exception:
             logger.exception(
                 "model load failed; serving in degraded mode (503s)"
@@ -233,6 +235,7 @@ def serve_forever(
     port: int = 8000,
     workers: int = 1,
     stub: bool = False,
+    rerank_candidates: int = 0,
 ) -> None:
     """Load the inference bundle and serve (uvicorn-replacement entry).
     Startup-failure contract parity (``app/main.py:105-119``): if the
@@ -245,7 +248,8 @@ def serve_forever(
     not share one accelerator. Each worker loads AFTER the fork so no
     JAX/device state crosses the fork boundary."""
     if workers <= 1:
-        _serve_one(model_dir, host, port, reuse_port=False, stub=stub)
+        _serve_one(model_dir, host, port, reuse_port=False, stub=stub,
+                   rerank_candidates=rerank_candidates)
         return
     import os as _os
     import signal as _signal
@@ -254,7 +258,8 @@ def serve_forever(
     for _ in range(workers):
         pid = _os.fork()
         if pid == 0:
-            _serve_one(model_dir, host, port, reuse_port=True, stub=stub)
+            _serve_one(model_dir, host, port, reuse_port=True, stub=stub,
+                       rerank_candidates=rerank_candidates)
             _os._exit(0)
         pids.append(pid)
     logger.info("forked %d serving workers on %s:%d", workers, host, port)

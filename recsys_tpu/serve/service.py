@@ -45,7 +45,9 @@ class RecommendationService:
     the FAISS role), or "auto" (native when no accelerator is present)."""
 
     def __init__(self, model_dir: str, backend: str = "auto",
-                 approx_search_threshold: int = 1_000_000):
+                 approx_search_threshold: int = 1_000_000,
+                 rerank_candidates: int = 0,
+                 rerank_ctr_weight: float = 0.5):
         if backend not in ("auto", "device", "native"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
@@ -53,6 +55,15 @@ class RecommendationService:
         # the hardware approx_max_k (recall@10 0.999 vs exact measured
         # at 8M items / dim 128). 0 disables approx entirely.
         self.approx_search_threshold = approx_search_threshold
+        # two-stage serving: retrieve this many candidates, rerank by
+        # retrieval score + rerank_ctr_weight * DCN CTR logit (the
+        # offline-validated combination: +32% recall@10 over retrieval
+        # alone, benchmarks/run_quality.py::two_stage_eval). 0 = the
+        # reference's retrieval-only contract. Needs model.npz in the
+        # bundle (full params).
+        self.rerank_candidates = rerank_candidates
+        self.rerank_ctr_weight = rerank_ctr_weight
+        self.model_params = None
         self.model_dir = model_dir
         self.config: Optional[RecsysConfig] = None
         self.encoder_params = None
@@ -72,6 +83,15 @@ class RecommendationService:
         self.user_id_map = {int(u): i for i, u in enumerate(vocabs["users"])}
         self.item_id_map = {int(m): i for i, m in enumerate(vocabs["items"])}
         self.encoder_params = load_encoder_params(d)
+        if self.rerank_candidates > 0:
+            from recsys_tpu.train.checkpoint import load_model_params
+
+            self.model_params = load_model_params(d)
+            if self.model_params is None:
+                logger.warning(
+                    "rerank requested but %s has no model.npz; "
+                    "serving retrieval-only", d,
+                )
         self.index = RetrievalIndex.load(os.path.join(d, "index.npz"))
         self._popular = [int(r) for r in self.index.item_raw_ids[:200]]
         self._ready = True
@@ -129,6 +149,30 @@ class RecommendationService:
             return self.index.search(u_emb, k, approx=True)
         return self.index.search(u_emb, k)
 
+    def _rerank_active(self) -> bool:
+        return self.rerank_candidates > 0 and self.model_params is not None
+
+    def _rerank(self, dense_uids, scores, idx, k: int):
+        """Two-stage rerank: [Q, C] candidates -> top-[Q, k] by
+        retrieval score + ctr_weight * DCN CTR logit (same combination
+        as the offline two-stage eval)."""
+        from recsys_tpu.models.multitask import MultiTaskModel
+
+        idx = np.asarray(idx)
+        q, c = idx.shape
+        flat_u = jnp.asarray(np.repeat(np.asarray(dense_uids), c))
+        flat_i = jnp.asarray(idx.reshape(-1))
+        out = MultiTaskModel.apply(
+            self.model_params, self.config.model, flat_u, flat_i
+        )
+        ctr = np.asarray(out.ctr_logit).reshape(q, c)
+        combined = np.asarray(scores) + self.rerank_ctr_weight * ctr
+        order = np.argsort(-combined, axis=1)[:, :k]
+        return (
+            np.take_along_axis(combined, order, axis=1),
+            np.take_along_axis(idx, order, axis=1),
+        )
+
     # ---- core ops --------------------------------------------------
     def _user_embedding(self, dense_uid) -> jnp.ndarray:
         ids = np.atleast_1d(np.asarray(dense_uid))
@@ -167,7 +211,12 @@ class RecommendationService:
         if dense is None:
             return self._popular_items(k)
         u = self._user_embedding(dense)
-        scores, ids = self._search(u, k)
+        if self._rerank_active():
+            c = max(self.rerank_candidates, k)
+            scores, ids = self._search(u, c)
+            scores, ids = self._rerank([dense], scores, ids, k)
+        else:
+            scores, ids = self._search(u, k)
         return [
             {
                 "item_id": int(self.index.item_raw_ids[i]),
@@ -191,8 +240,14 @@ class RecommendationService:
             for u in user_ids
         ]
         if known:
-            u_emb = self._user_embedding(np.array([dense[i] for i in known]))
-            scores, top = self._search(u_emb, k)
+            known_dense = np.array([dense[i] for i in known])
+            u_emb = self._user_embedding(known_dense)
+            if self._rerank_active():
+                c = max(self.rerank_candidates, k)
+                scores, top = self._search(u_emb, c)
+                scores, top = self._rerank(known_dense, scores, top, k)
+            else:
+                scores, top = self._search(u_emb, k)
             for row, i in enumerate(known):
                 out[i] = {
                     "user_id": int(user_ids[i]),

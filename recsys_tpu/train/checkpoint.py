@@ -149,6 +149,7 @@ def save_inference_bundle(
     user_raw_ids: np.ndarray,
     item_raw_ids: np.ndarray,
     index=None,
+    full_params: Dict = None,
 ) -> None:
     """Write the serving artifact set:
 
@@ -156,11 +157,17 @@ def save_inference_bundle(
     * ``vocabs.json``  — raw user/item id lists  (parity, ``src/trainer.py:231-232``)
     * ``config.json``  — run config              (parity, ``src/trainer.py:233``)
     * ``index.npz``    — RetrievalIndex          (was ``faiss.idx`` + ``item_map.json``)
+    * ``model.npz``    — FULL model params (towers + DCN + heads) when
+      given, enabling the two-stage retrieve→rerank serving path
+      (the reference ships only ``best_model.keras``, which its primary
+      service never reranks with)
     """
     if jax.process_index() != 0:
         return
     os.makedirs(output_dir, exist_ok=True)
     np.savez(os.path.join(output_dir, "encoder.npz"), **_flatten(tower_params))
+    if full_params is not None:
+        np.savez(os.path.join(output_dir, "model.npz"), **_flatten(full_params))
     with open(os.path.join(output_dir, "vocabs.json"), "w") as f:
         json.dump(
             {
@@ -177,4 +184,14 @@ def save_inference_bundle(
 
 def load_encoder_params(output_dir: str) -> Dict:
     with np.load(os.path.join(output_dir, "encoder.npz")) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+def load_model_params(output_dir: str) -> Dict:
+    """Full-model params for the rerank serving path; None if the
+    bundle predates ``model.npz``."""
+    path = os.path.join(output_dir, "model.npz")
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
         return _unflatten({k: z[k] for k in z.files})

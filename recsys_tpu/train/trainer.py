@@ -723,13 +723,15 @@ class Trainer:
             jax.device_get(state.params)["towers"], cfg.model, n_items,
             bundle["meta/movie_raw_ids"],
         )
+        host_params = jax.device_get(state.params)
         ckpt_lib.save_inference_bundle(
             f"{self.output_dir}/serving",
-            jax.device_get(state.params)["towers"],
+            host_params["towers"],
             cfg,
             bundle["meta/user_raw_ids"],
             bundle["meta/movie_raw_ids"],
             index=index,
+            full_params=host_params,
         )
         self.final_state = state
         return report

@@ -23,6 +23,10 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--stub", action="store_true",
                     help="serve the model-free stub service (degraded mode)")
+    ap.add_argument("--rerank_candidates", type=int, default=0,
+                    help="two-stage serving: retrieve this many candidates "
+                         "and rerank with the DCN CTR head (0 = retrieval "
+                         "only, the reference contract; needs model.npz)")
     ap.add_argument("--workers", type=int, default=1,
                     help="forked SO_REUSEPORT serving processes (use with "
                          "the host-side scoring backend; >1 sidesteps the GIL)")
@@ -34,7 +38,8 @@ def main(argv=None) -> int:
     from recsys_tpu.serve.app import serve_forever
 
     serve_forever(args.model_dir, args.host, args.port,
-                  workers=args.workers, stub=args.stub)
+                  workers=args.workers, stub=args.stub,
+                  rerank_candidates=args.rerank_candidates)
     return 0
 
 

@@ -221,3 +221,31 @@ def test_multiworker_serving_subprocess(tmp_path):
     finally:
         os.killpg(proc.pid, signal.SIGTERM)
         assert proc.wait(timeout=30) is not None
+
+
+def test_two_stage_rerank_serving(trained_service):
+    """rerank_candidates > 0 + model.npz: the service retrieves C
+    candidates and reranks with the DCN CTR head; top-k stays a subset
+    of the retrieval candidates and the response contract is intact."""
+    svc_plain, bundle = trained_service
+    d = svc_plain.model_dir
+    from recsys_tpu.serve.service import RecommendationService
+
+    svc = RecommendationService(d, rerank_candidates=20).load()
+    assert svc._rerank_active(), "model.npz missing from trained bundle?"
+    uid = int(bundle["meta/user_raw_ids"][0])
+
+    plain = svc_plain.recommend(uid, 5)
+    rer = svc.recommend(uid, 5)
+    assert len(rer) == 5
+    assert [r["rank"] for r in rer] == [1, 2, 3, 4, 5]
+    # reranked top-5 must come from the retrieval top-20 candidate set
+    cand_scores, cand_ids = svc_plain._search(
+        svc_plain._user_embedding(svc_plain.user_id_map[uid]), 20)
+    cand_raw = {int(svc_plain.index.item_raw_ids[i]) for i in cand_ids[0]}
+    assert all(r["item_id"] in cand_raw for r in rer)
+    # batch path agrees with single path
+    batch = svc.recommend_batch([uid], 5)
+    assert [r["item_id"] for r in batch[0]["recommendations"]] == [
+        r["item_id"] for r in rer
+    ]
