@@ -156,16 +156,21 @@ class RecommendationService:
         """Two-stage rerank: [Q, C] candidates -> top-[Q, k] by
         retrieval score + ctr_weight * DCN CTR logit (same combination
         as the offline two-stage eval)."""
-        from recsys_tpu.models.multitask import MultiTaskModel
-
         idx = np.asarray(idx)
         q, c = idx.shape
-        flat_u = jnp.asarray(np.repeat(np.asarray(dense_uids), c))
-        flat_i = jnp.asarray(idx.reshape(-1))
-        out = MultiTaskModel.apply(
-            self.model_params, self.config.model, flat_u, flat_i
-        )
-        ctr = np.asarray(out.ctr_logit).reshape(q, c)
+        flat_u = np.repeat(np.asarray(dense_uids), c)
+        flat_i = idx.reshape(-1)
+        if self._resolved_backend() == "native":
+            # host path: no per-request accelerator dispatch
+            ctr = self._ctr_logits_np(flat_u, flat_i).reshape(q, c)
+        else:
+            from recsys_tpu.models.multitask import MultiTaskModel
+
+            out = MultiTaskModel.apply(
+                self.model_params, self.config.model,
+                jnp.asarray(flat_u), jnp.asarray(flat_i),
+            )
+            ctr = np.asarray(out.ctr_logit).reshape(q, c)
         combined = np.asarray(scores) + self.rerank_ctr_weight * ctr
         order = np.argsort(-combined, axis=1)[:, :k]
         return (
@@ -182,16 +187,14 @@ class RecommendationService:
             self.encoder_params, jnp.asarray(ids), self.config.model
         )
 
-    def _user_embedding_np(self, ids: np.ndarray) -> np.ndarray:
-        """Pure-NumPy user tower for the host serving path — a single
-        tiny MLP per request; avoids per-request accelerator dispatch
-        (which costs ~100 ms RPC over a remote-TPU tunnel). Parity with
-        ``TwoTower.user_embed`` is tested in test_serving.py."""
-        p = self.encoder_params
-        table = np.asarray(p["user_table"])
+    def _tower_np(self, params, table_key: str, tower_key: str,
+                  ids: np.ndarray) -> np.ndarray:
+        """Pure-NumPy tower forward (inference mode) — parity with
+        ``TwoTower._tower`` is tested in test_serving.py."""
+        table = np.asarray(params[table_key])
         rows = table[np.clip(ids, 0, table.shape[0] - 1)]
         h = rows.astype(np.float32)
-        tower = p["user_tower"]
+        tower = params[tower_key]
         n = len(tower)
         for i in range(n):
             layer = tower[f"layer_{i}"]
@@ -201,6 +204,44 @@ class RecommendationService:
         if self.config.model.tower_residual:
             h = h + rows
         return h
+
+    def _user_embedding_np(self, ids: np.ndarray) -> np.ndarray:
+        """Pure-NumPy user tower for the host serving path — a single
+        tiny MLP per request; avoids per-request accelerator dispatch
+        (which costs ~100 ms RPC over a remote-TPU tunnel)."""
+        return self._tower_np(self.encoder_params, "user_table",
+                              "user_tower", ids)
+
+    def _ctr_logits_np(self, user_ids: np.ndarray,
+                       item_ids: np.ndarray) -> np.ndarray:
+        """Pure-NumPy full-model CTR logit (towers -> DCN -> ctr head,
+        inference mode) for the host rerank path — parity with
+        ``MultiTaskModel.apply().ctr_logit`` is tested in
+        test_serving.py."""
+        p = self.model_params
+        tw = p["towers"]
+        u = self._tower_np(tw, "user_table", "user_tower", user_ids)
+        v = self._tower_np(tw, "item_table", "item_tower", item_ids)
+        x0 = np.concatenate([u, v], axis=-1).astype(np.float32)
+        xl = x0
+        cfg = self.config.model
+        for i in range(cfg.cross_layers):
+            layer = p["dcn"]["cross"][f"layer_{i}"]
+            xw = (xl @ np.asarray(layer["w"]))[:, None]
+            xl = x0 * xw + np.asarray(layer["b"]) + xl
+        if p["dcn"]["deep"]:
+            h = x0
+            deep = p["dcn"]["deep"]
+            for i in range(len(deep)):
+                layer = deep[f"layer_{i}"]
+                h = np.maximum(
+                    h @ np.asarray(layer["w"]) + np.asarray(layer["b"]), 0.0
+                )
+            feat = np.concatenate([xl, h], axis=-1)
+        else:
+            feat = xl
+        head = p["ctr_head"]
+        return (feat @ np.asarray(head["w"]) + np.asarray(head["b"]))[:, 0]
 
     def recommend(self, user_id: int, k: int = 10) -> List[Dict]:
         """Top-k for one user; cosine scores; popularity fallback for

@@ -249,3 +249,28 @@ def test_two_stage_rerank_serving(trained_service):
     assert [r["item_id"] for r in batch[0]["recommendations"]] == [
         r["item_id"] for r in rer
     ]
+
+
+def test_numpy_ctr_forward_parity(trained_service):
+    """The host rerank path's NumPy towers->DCN->ctr-head forward must
+    match MultiTaskModel.apply (inference mode)."""
+    import jax.numpy as jnp
+    from recsys_tpu.models.multitask import MultiTaskModel
+    from recsys_tpu.serve.service import RecommendationService
+
+    svc_plain, bundle = trained_service
+    svc = RecommendationService(svc_plain.model_dir,
+                                rerank_candidates=10).load()
+    rng = np.random.default_rng(0)
+    n_u = len(svc.user_id_map)
+    n_i = len(svc.item_id_map)
+    uids = rng.integers(0, n_u, 32).astype(np.int32)
+    iids = rng.integers(0, n_i, 32).astype(np.int32)
+    got = svc._ctr_logits_np(uids, iids)
+    want = np.asarray(
+        MultiTaskModel.apply(
+            svc.model_params, svc.config.model,
+            jnp.asarray(uids), jnp.asarray(iids),
+        ).ctr_logit
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
