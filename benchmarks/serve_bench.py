@@ -260,6 +260,16 @@ def main() -> int:
         "http_single": bench_http(service, user_ids, args.requests,
                                   args.clients, args.k),
     }
+    # two-stage (retrieve -> DCN rerank) service-layer numbers, when the
+    # bundle ships full params
+    rr = RecommendationService(
+        args.model_dir, backend=args.backend, rerank_candidates=200
+    ).load()
+    if rr._rerank_active():
+        for u in user_ids[:8]:
+            rr.recommend(int(u), args.k)
+        result["service_single_rerank200"] = bench_service(
+            rr, user_ids, max(args.requests // 4, 200), args.k)
     if args.workers:
         result["http_multiworker"] = bench_multiworker(
             args.model_dir, max(args.requests * 10, 20000), args.k,
