@@ -35,6 +35,12 @@ CONFIGS = {
     # configs[3]: full two-stage pipeline (retrieval -> topk -> rerank eval)
     "c3": dict(embedding_dim=128, batch_size=4096, epochs=30, cross_layers=3,
                negative_sampling="random", lr=5e-3, two_stage_eval=True),
+    # c3 + engineered dense features in the DCN ranking input (the
+    # feature set the reference computes but never trains on): measures
+    # what the features buy the CTR head / two-stage rerank
+    "c3d": dict(embedding_dim=128, batch_size=4096, epochs=30, cross_layers=3,
+                negative_sampling="random", lr=5e-3, two_stage_eval=True,
+                dense_features=True),
 }
 
 
@@ -46,6 +52,11 @@ def run_one(name: str, spec: dict, bundle) -> dict:
     )
     from recsys_tpu.train.trainer import Trainer
 
+    dense = 0
+    if spec.get("dense_features"):
+        from recsys_tpu.data.features import FeatureEngineer
+
+        dense = FeatureEngineer.n_features()
     cfg = RecsysConfig(
         model=ModelConfig(
             embedding_dim=spec["embedding_dim"],
@@ -53,6 +64,7 @@ def run_one(name: str, spec: dict, bundle) -> dict:
             ctr_weight=spec.get("ctr_weight", 2.0),
             rating_weight=spec.get("rating_weight", 0.2),
             mixed_precision=True,
+            dense_features=dense,
         ),
         data=DataConfig(negative_sampling=spec["negative_sampling"],
                         num_hard_negatives=4, num_random_negatives=8),
@@ -95,7 +107,9 @@ def two_stage_eval(trainer, cfg, bundle) -> dict:
 
     uid = bundle["val/user_id"][:8192]
     mid = bundle["val/movie_id"][:8192]
+    val_ts = bundle["val/timestamp"][:8192].astype(np.float64)
     n_cand = 200
+    eng = getattr(trainer, "_feature_engineer", None)
 
     item_bias = jnp.asarray(
         np.asarray(params["towers"]["item_bias"])[:n_items]
@@ -108,17 +122,22 @@ def two_stage_eval(trainer, cfg, bundle) -> dict:
     from recsys_tpu.retrieval.evaluator import _topk_masked
 
     @jax.jit
-    def stage(params, u_ids):
+    def retrieve(params, u_ids):
         u_emb = TwoTower.user_embed(params["towers"], u_ids, mcfg)
-        cand_scores, cand = _topk_masked(
+        return _topk_masked(
             u_emb, item_embs, seen_mask, u_ids, n_cand,
             normalize=False, item_bias=item_bias,
         )
+
+    @jax.jit
+    def rerank(params, u_ids, cand_scores, cand, dense):
         # rerank candidates: retrieval log-likelihood + CTR-head logit
         B = u_ids.shape[0]
         flat_items = cand.reshape(-1)
         flat_users = jnp.repeat(u_ids, n_cand)
-        out = MultiTaskModel.apply(params, mcfg, flat_users, flat_items)
+        out = MultiTaskModel.apply(
+            params, mcfg, flat_users, flat_items, dense=dense
+        )
         ctr = out.ctr_logit.reshape(B, n_cand)
         combined = cand_scores + 0.5 * ctr
         order = jnp.argsort(-combined, axis=1)
@@ -128,9 +147,21 @@ def two_stage_eval(trainer, cfg, bundle) -> dict:
     bs = 2048
     for lo in range(0, len(uid), bs):
         chunk = uid[lo : lo + bs]
+        ts_chunk = val_ts[lo : lo + bs]
         pad = bs - len(chunk)
         chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
-        p = np.asarray(stage(params, jnp.asarray(chunk)))
+        ts_chunk = np.concatenate([ts_chunk, np.zeros(pad)])
+        cand_scores, cand = retrieve(params, jnp.asarray(chunk))
+        dense = None
+        if mcfg.dense_features and eng is not None:
+            cand_np = np.asarray(cand).reshape(-1)
+            flat_u = np.repeat(chunk, n_cand)
+            flat_ts = np.repeat(ts_chunk, n_cand)
+            dense = jnp.asarray(
+                eng.transform_scaled(flat_u, cand_np, flat_ts)
+            )
+        p = np.asarray(rerank(params, jnp.asarray(chunk), cand_scores,
+                              cand, dense))
         preds.append(p[: bs - pad])
     preds = np.concatenate(preds)
 

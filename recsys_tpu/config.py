@@ -71,6 +71,20 @@ class ModelConfig:
     # B>=64k in-batch softmax on one chip; compile time over a remote
     # TPU is long, so off by default.
     use_flash_ce: bool = False
+    # Width of the engineered dense-feature vector concatenated into the
+    # DCN ranking input (x0 = [user_emb | item_emb | dense]). 0 = ids
+    # only (reference parity: its DataProcessor computes ~29 features
+    # that never reach the model, SURVEY §7.3 "parity traps"). Set to
+    # ``data.features.FeatureEngineer.n_features()`` to train the
+    # ranking heads on the full engineered set; the fitted feature state
+    # ships in the inference bundle so serving-time rerank sees the
+    # exact training-time features (no train/serve skew).
+    dense_features: int = 0
+    # Retrieval softmax temperature: user embeddings are scaled by 1/T
+    # inside the in-batch softmax only. T < 1 sharpens the training
+    # distribution; rankings at serving are unaffected (uniform score
+    # scale). 1.0 = reference parity (tfrs.tasks.Retrieval has none).
+    softmax_temperature: float = 1.0
 
     def __post_init__(self):
         object.__setattr__(self, "user_tower_dims", tuple(self.user_tower_dims))

@@ -19,10 +19,12 @@ Feature groups (reference citations per group):
 All *-statistics are computed on the **train split only** and applied
 to every split (leakage-free, parity with the reference's train-only
 caches). The reference computes these features but never feeds them to
-its model (SURVEY §7.3 "parity traps"); here they are a data-layer
-capability that can optionally be concatenated into the DCN input
-(``wide_features`` hook in the trainer config — off by default for
-model parity).
+its model (SURVEY §7.3 "parity traps"); here they can optionally be
+concatenated into the DCN ranking input
+(``ModelConfig.dense_features = FeatureEngineer.n_features()`` — off by
+default for model parity). The fitted state ships in the inference
+bundle (``state_dict``/``from_state``) so serving-time rerank computes
+the identical features.
 """
 
 from __future__ import annotations
@@ -81,12 +83,24 @@ class FeatureEngineer:
 
     def __init__(self, n_users: int, n_items: int,
                  item_genres: Optional[np.ndarray] = None,
-                 standardize: bool = True):
+                 standardize: bool = True, clip_std: float = 10.0):
         self.n_users = n_users
         self.n_items = n_items
         self.item_genres = item_genres  # [n_items, G] multi-hot
         self.standardize = standardize
+        # post-standardization clip (in train-σ units). Temporal holdout
+        # splits extrapolate: days-since-last-activity / item-age on val
+        # rows reach ~70σ of the train distribution, which the DCN cross
+        # term (x0 ⊙ (x·w)) amplifies quadratically — unclipped, eval
+        # rating RMSE explodes while train stays healthy.
+        self.clip_std = clip_std
         self.fitted = False
+
+    @staticmethod
+    def n_features(with_genres: bool = True) -> int:
+        """Width of the feature matrix this engineer emits — the value
+        to put in ``ModelConfig.dense_features``."""
+        return 29 if with_genres else 28
 
     # ---- fit on train ----------------------------------------------
     def fit(self, uid: np.ndarray, mid: np.ndarray, rating: np.ndarray,
@@ -218,6 +232,72 @@ class FeatureEngineer:
         }
         if self.standardize:
             scaler = StandardScaler().fit(feats["train"])
-            feats = {k: scaler.transform(v) for k, v in feats.items()}
+            feats = {k: self._clip(scaler.transform(v)) for k, v in feats.items()}
             self.scaler = scaler
         return feats
+
+    def _clip(self, mat: np.ndarray) -> np.ndarray:
+        if self.clip_std:
+            mat = np.clip(mat, -self.clip_std, self.clip_std)
+        return mat.astype(np.float32)
+
+    def transform_scaled(self, uid: np.ndarray, mid: np.ndarray,
+                         ts: np.ndarray) -> np.ndarray:
+        """transform() + the train-fitted scaler + σ-clip — the
+        serving-time entry point (identical to what the model saw in
+        training)."""
+        mat = self.transform(uid, mid, ts)
+        if self.standardize and hasattr(self, "scaler"):
+            mat = self._clip(self.scaler.transform(mat))
+        return mat
+
+    # ---- serialization (ships in the inference bundle) ---------------
+    _STATE_KEYS = (
+        "u_cnt", "u_mean", "u_std", "u_min", "u_max", "u_nunique",
+        "u_first", "u_last",
+        "i_cnt", "i_mean", "i_std", "i_min", "i_max", "i_nunique",
+        "i_first", "i_last", "i_recent_cnt", "i_pop_trend",
+    )
+
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        """Fitted state as a flat array dict (npz-serializable), so the
+        serving layer reranks with the exact training-time features."""
+        assert self.fitted, "call fit() first"
+        state: Dict[str, np.ndarray] = {
+            k: np.asarray(getattr(self, k)) for k in self._STATE_KEYS
+        }
+        state["t_ref"] = np.float64(self.t_ref)
+        state["clip_std"] = np.float64(self.clip_std)
+        state["meta"] = np.array(
+            [self.n_users, self.n_items, int(self.standardize)], np.int64
+        )
+        if self.item_genres is not None:
+            state["item_genres"] = np.asarray(self.item_genres)
+            state["user_genre_prefs"] = np.asarray(self.user_genre_prefs)
+        if self.standardize and hasattr(self, "scaler"):
+            state["scaler_mean"] = np.asarray(self.scaler.mean_)
+            state["scaler_scale"] = np.asarray(self.scaler.scale_)
+        return state
+
+    @classmethod
+    def from_state(cls, state: Dict[str, np.ndarray]) -> "FeatureEngineer":
+        n_users, n_items, standardize = (int(v) for v in state["meta"])
+        eng = cls(
+            n_users, n_items,
+            item_genres=(state["item_genres"] if "item_genres" in state else None),
+            standardize=bool(standardize),
+            clip_std=float(state["clip_std"]) if "clip_std" in state else 10.0,
+        )
+        for k in cls._STATE_KEYS:
+            setattr(eng, k, np.asarray(state[k]))
+        eng.t_ref = float(state["t_ref"])
+        if eng.item_genres is not None:
+            eng.user_genre_prefs = np.asarray(state["user_genre_prefs"])
+        else:
+            eng.user_genre_prefs = None
+        if "scaler_mean" in state:
+            eng.scaler = StandardScaler()
+            eng.scaler.mean_ = np.asarray(state["scaler_mean"])
+            eng.scaler.scale_ = np.asarray(state["scaler_scale"])
+        eng.fitted = True
+        return eng

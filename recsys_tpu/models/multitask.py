@@ -41,7 +41,7 @@ class MultiTaskModel:
         key, cfg: ModelConfig, n_users: int, n_items: int, rows_multiple: int = 1
     ) -> Dict:
         k_tt, k_dcn, k_rh, k_ch = jax.random.split(key, 4)
-        dcn_in = 2 * cfg.embedding_dim
+        dcn_in = 2 * cfg.embedding_dim + cfg.dense_features
         dcn_out = DeepCrossNetwork.output_dim(cfg, dcn_in)
         return {
             "towers": TwoTower.init(k_tt, cfg, n_users, n_items, rows_multiple),
@@ -58,6 +58,7 @@ class MultiTaskModel:
         item_ids: jnp.ndarray,
         train: bool = False,
         key: Optional[jax.Array] = None,
+        dense: Optional[jnp.ndarray] = None,
     ) -> ForwardOut:
         k_tt = k_dcn = None
         if key is not None:
@@ -65,7 +66,15 @@ class MultiTaskModel:
         u, v = TwoTower.apply(
             params["towers"], cfg, user_ids, item_ids, train=train, key=k_tt
         )
-        x = jnp.concatenate([u, v], axis=-1)
+        if cfg.dense_features:
+            if dense is None:
+                raise ValueError(
+                    f"model was built with dense_features={cfg.dense_features} "
+                    "but no dense batch column was provided"
+                )
+            x = jnp.concatenate([u, v, dense.astype(u.dtype)], axis=-1)
+        else:
+            x = jnp.concatenate([u, v], axis=-1)
         h = DeepCrossNetwork.apply(params["dcn"], x, cfg, train=train, key=k_dcn)
         rating = L.dense(params["rating_head"], h)[..., 0]
         ctr_logit = L.dense(params["ctr_head"], h)[..., 0]
@@ -93,7 +102,8 @@ class MultiTaskModel:
         if key is not None:
             k_fwd, k_neg = jax.random.split(key)
         out = MultiTaskModel.apply(
-            params, cfg, batch["user_id"], batch["movie_id"], train=train, key=k_fwd
+            params, cfg, batch["user_id"], batch["movie_id"], train=train,
+            key=k_fwd, dense=batch.get("dense"),
         )
         mask = batch.get("mask")
         n_bias = params["towers"]["item_bias"].shape[0] - 1
@@ -109,11 +119,17 @@ class MultiTaskModel:
         # the B x B logits matmul dominates the step at large batch; run
         # it on the MXU in bf16 (fp32 accumulation inside the dot)
         emb_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        # softmax temperature: scaling only the user side scales every
+        # logit AND the positive uniformly, so serving rankings are
+        # unchanged while training gradients sharpen (T < 1)
+        u_retr = out.user_embedding
+        if cfg.softmax_temperature != 1.0:
+            u_retr = u_retr / cfg.softmax_temperature
         if cfg.use_flash_ce and not global_negatives:
             from recsys_tpu.ops.pallas.flash_ce import in_batch_softmax_flash
 
             retr = in_batch_softmax_flash(
-                out.user_embedding.astype(emb_dtype),
+                u_retr.astype(emb_dtype),
                 out.item_embedding.astype(emb_dtype),
                 item_ids=mask_ids,
                 mask=mask,
@@ -122,7 +138,7 @@ class MultiTaskModel:
             )
         else:
             retr = losses.in_batch_softmax(
-                out.user_embedding.astype(emb_dtype),
+                u_retr.astype(emb_dtype),
                 out.item_embedding.astype(emb_dtype),
                 item_ids=mask_ids,
                 axis_name=data_axis if global_negatives else None,
@@ -135,7 +151,7 @@ class MultiTaskModel:
                 params["towers"], neg_item_ids, cfg, train=train, key=k_neg
             )
             retr = retr + losses.sampled_softmax_explicit(
-                out.user_embedding, out.item_embedding, neg_emb
+                u_retr, out.item_embedding, neg_emb
             )
         m = losses.mse(out.rating_pred, batch["rating"], mask=mask)
         w_pos, w_neg = class_weights

@@ -47,8 +47,8 @@ def _topk_masked(user_emb, item_embs, seen_mask, user_ids, k: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _heads(params, cfg: ModelConfig, uid, mid):
-    out = MultiTaskModel.apply(params, cfg, uid, mid)
+def _heads(params, cfg: ModelConfig, uid, mid, dense=None):
+    out = MultiTaskModel.apply(params, cfg, uid, mid, dense=dense)
     return out.rating_pred, jax.nn.sigmoid(out.ctr_logit)
 
 
@@ -59,19 +59,35 @@ def evaluate(
     split: str = "val",
     eval_cfg: EvalConfig = EvalConfig(),
     seed: int = 42,
+    dense: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
-    """Full metric report for one split."""
+    """Full metric report for one split.
+
+    ``dense``: the split's engineered feature matrix [N, F], required by
+    models with ``cfg.dense_features > 0`` (computed here from the
+    bundle when not supplied — the trainer passes its cached copy)."""
     uid = bundle[f"{split}/user_id"]
     mid = bundle[f"{split}/movie_id"]
     rating = bundle[f"{split}/rating"]
     y = bundle[f"{split}/y_implicit"]
     n_items = int(bundle["meta/n_movies"])
 
+    if cfg.dense_features > 0 and dense is None:
+        from recsys_tpu.data.features import FeatureEngineer
+
+        eng = FeatureEngineer(
+            int(bundle["meta/n_users"]), n_items,
+            item_genres=bundle.get("meta/movie_genres"),
+        )
+        dense = eng.fit_transform_splits(bundle)[split]
+
     if eval_cfg.eval_sample and len(uid) > eval_cfg.eval_sample:
         idx = np.random.default_rng(seed).choice(
             len(uid), eval_cfg.eval_sample, replace=False
         )
         uid, mid, rating, y = uid[idx], mid[idx], rating[idx], y[idx]
+        if dense is not None:
+            dense = dense[idx]
 
     # seen-item mask: with temporal holdout the user's next item is by
     # construction not among their train interactions, so scoring seen
@@ -114,7 +130,14 @@ def evaluate(
                 u_emb, item_embs, seen_mask, jnp.asarray(u_ids), max_k,
                 normalize=use_cosine, item_bias=item_bias,
             )
-        r_pred, c_pred = _heads(params, cfg, jnp.asarray(u_ids), jnp.asarray(m_ids))
+        d_rows = None
+        if dense is not None:
+            d_rows = jnp.asarray(np.concatenate(
+                [dense[lo:hi], np.zeros((pad, dense.shape[1]), dense.dtype)]
+            ))
+        r_pred, c_pred = _heads(
+            params, cfg, jnp.asarray(u_ids), jnp.asarray(m_ids), d_rows
+        )
         preds_list.append(np.asarray(top_ids)[: hi - lo])
         rat_list.append(np.asarray(r_pred)[: hi - lo])
         ctr_list.append(np.asarray(c_pred)[: hi - lo])

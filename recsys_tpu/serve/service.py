@@ -64,6 +64,7 @@ class RecommendationService:
         self.rerank_candidates = rerank_candidates
         self.rerank_ctr_weight = rerank_ctr_weight
         self.model_params = None
+        self.feature_engineer = None
         self.model_dir = model_dir
         self.config: Optional[RecsysConfig] = None
         self.encoder_params = None
@@ -84,7 +85,9 @@ class RecommendationService:
         self.item_id_map = {int(m): i for i, m in enumerate(vocabs["items"])}
         self.encoder_params = load_encoder_params(d)
         if self.rerank_candidates > 0:
-            from recsys_tpu.train.checkpoint import load_model_params
+            from recsys_tpu.train.checkpoint import (
+                load_feature_engineer, load_model_params,
+            )
 
             self.model_params = load_model_params(d)
             if self.model_params is None:
@@ -92,6 +95,18 @@ class RecommendationService:
                     "rerank requested but %s has no model.npz; "
                     "serving retrieval-only", d,
                 )
+            # fitted FeatureEngineer (present iff the model trains on
+            # engineered dense features): rerank computes the identical
+            # training-time features, with "now" = end of train
+            self.feature_engineer = load_feature_engineer(d)
+            if (self.model_params is not None
+                    and self.config.model.dense_features > 0
+                    and self.feature_engineer is None):
+                logger.warning(
+                    "model consumes dense features but %s has no "
+                    "features.npz; serving retrieval-only", d,
+                )
+                self.model_params = None
         self.index = RetrievalIndex.load(os.path.join(d, "index.npz"))
         self._popular = [int(r) for r in self.index.item_raw_ids[:200]]
         self._ready = True
@@ -160,15 +175,21 @@ class RecommendationService:
         q, c = idx.shape
         flat_u = np.repeat(np.asarray(dense_uids), c)
         flat_i = idx.reshape(-1)
+        dense = None
+        if self.config.model.dense_features > 0:
+            eng = self.feature_engineer
+            now = np.full(len(flat_u), eng.t_ref)
+            dense = eng.transform_scaled(flat_u, flat_i, now)
         if self._resolved_backend() == "native":
             # host path: no per-request accelerator dispatch
-            ctr = self._ctr_logits_np(flat_u, flat_i).reshape(q, c)
+            ctr = self._ctr_logits_np(flat_u, flat_i, dense).reshape(q, c)
         else:
             from recsys_tpu.models.multitask import MultiTaskModel
 
             out = MultiTaskModel.apply(
                 self.model_params, self.config.model,
                 jnp.asarray(flat_u), jnp.asarray(flat_i),
+                dense=None if dense is None else jnp.asarray(dense),
             )
             ctr = np.asarray(out.ctr_logit).reshape(q, c)
         combined = np.asarray(scores) + self.rerank_ctr_weight * ctr
@@ -213,7 +234,8 @@ class RecommendationService:
                               "user_tower", ids)
 
     def _ctr_logits_np(self, user_ids: np.ndarray,
-                       item_ids: np.ndarray) -> np.ndarray:
+                       item_ids: np.ndarray,
+                       dense: Optional[np.ndarray] = None) -> np.ndarray:
         """Pure-NumPy full-model CTR logit (towers -> DCN -> ctr head,
         inference mode) for the host rerank path — parity with
         ``MultiTaskModel.apply().ctr_logit`` is tested in
@@ -222,7 +244,8 @@ class RecommendationService:
         tw = p["towers"]
         u = self._tower_np(tw, "user_table", "user_tower", user_ids)
         v = self._tower_np(tw, "item_table", "item_tower", item_ids)
-        x0 = np.concatenate([u, v], axis=-1).astype(np.float32)
+        parts = [u, v] if dense is None else [u, v, dense]
+        x0 = np.concatenate(parts, axis=-1).astype(np.float32)
         xl = x0
         cfg = self.config.model
         for i in range(cfg.cross_layers):

@@ -150,6 +150,7 @@ def save_inference_bundle(
     item_raw_ids: np.ndarray,
     index=None,
     full_params: Dict = None,
+    feature_state: Dict = None,
 ) -> None:
     """Write the serving artifact set:
 
@@ -161,6 +162,9 @@ def save_inference_bundle(
       given, enabling the two-stage retrieve→rerank serving path
       (the reference ships only ``best_model.keras``, which its primary
       service never reranks with)
+    * ``features.npz`` — fitted ``FeatureEngineer`` state when the model
+      consumes engineered dense features (``ModelConfig.dense_features``),
+      so serving-time rerank computes the identical features
     """
     if jax.process_index() != 0:
         return
@@ -168,6 +172,8 @@ def save_inference_bundle(
     np.savez(os.path.join(output_dir, "encoder.npz"), **_flatten(tower_params))
     if full_params is not None:
         np.savez(os.path.join(output_dir, "model.npz"), **_flatten(full_params))
+    if feature_state is not None:
+        np.savez(os.path.join(output_dir, "features.npz"), **feature_state)
     with open(os.path.join(output_dir, "vocabs.json"), "w") as f:
         json.dump(
             {
@@ -195,3 +201,15 @@ def load_model_params(output_dir: str) -> Dict:
         return None
     with np.load(path) as z:
         return _unflatten({k: z[k] for k in z.files})
+
+
+def load_feature_engineer(output_dir: str):
+    """Fitted ``FeatureEngineer`` from the bundle; None when the model
+    does not use dense features."""
+    path = os.path.join(output_dir, "features.npz")
+    if not os.path.exists(path):
+        return None
+    from recsys_tpu.data.features import FeatureEngineer
+
+    with np.load(path) as z:
+        return FeatureEngineer.from_state({k: z[k] for k in z.files})

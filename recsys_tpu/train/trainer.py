@@ -453,6 +453,29 @@ class Trainer:
         else:
             class_weights = (1.0, 1.0)
 
+        # engineered dense features for the ranking heads
+        # (ModelConfig.dense_features > 0): fit on train, standardized
+        # with the train scaler, one [N, F] matrix per split. The fitted
+        # engineer ships in the inference bundle for serving-time rerank.
+        dense_feats = None
+        self._feature_engineer = None
+        if cfg.model.dense_features > 0:
+            from recsys_tpu.data.features import FeatureEngineer
+
+            eng = FeatureEngineer(
+                n_users, n_items,
+                item_genres=bundle.get("meta/movie_genres"),
+            )
+            dense_feats = eng.fit_transform_splits(bundle)
+            got = dense_feats["train"].shape[1]
+            if got != cfg.model.dense_features:
+                raise ValueError(
+                    f"ModelConfig.dense_features={cfg.model.dense_features} "
+                    f"but FeatureEngineer emits {got} columns "
+                    "(use FeatureEngineer.n_features())"
+                )
+            self._feature_engineer = eng
+
         # logQ correction array: log empirical train frequency per item
         log_q_table = None
         if t_cfg.logq_correction:
@@ -480,13 +503,19 @@ class Trainer:
                 seed=t_cfg.seed,
             ).fit(bundle["train/user_id"], bundle["train/movie_id"], n_items)
 
+        batch_cols = ("user_id", "movie_id", "rating", "y_implicit")
+        if dense_feats is not None:
+            bundle = {**{k: bundle[k] for k in bundle},
+                      **{f"{s}/dense": v for s, v in dense_feats.items()}}
+            batch_cols = batch_cols + ("dense",)
         train_batcher = Batcher(
             bundle, "train", t_cfg.batch_size, seed=t_cfg.seed,
+            columns=batch_cols,
             process_index=jax.process_index(), process_count=jax.process_count(),
         )
         val_batcher = Batcher(
             bundle, "val", t_cfg.batch_size, seed=t_cfg.seed, shuffle=False,
-            drop_remainder=False,
+            drop_remainder=False, columns=batch_cols,
             process_index=jax.process_index(), process_count=jax.process_count(),
         )
 
@@ -517,8 +546,7 @@ class Trainer:
 
         # ---- choose data path: device-resident (one compiled call per
         # epoch, zero per-step host traffic) vs streaming ------------
-        train_cols = {c: bundle[f"train/{c}"] for c in
-                      ("user_id", "movie_id", "rating", "y_implicit")}
+        train_cols = {c: bundle[f"train/{c}"] for c in batch_cols}
         if log_q_table is not None:
             train_cols["log_q"] = log_q_table[train_cols["movie_id"]]
         data_bytes = sum(v.nbytes for v in train_cols.values())
@@ -541,9 +569,9 @@ class Trainer:
             pad = val_steps * t_cfg.batch_size - n_val
             def _padcol(c):
                 v = bundle[f"val/{c}"]
-                return jnp.asarray(np.pad(v, (0, pad)))
-            val_data = {c: _padcol(c) for c in
-                        ("user_id", "movie_id", "rating", "y_implicit")}
+                widths = ((0, pad),) + ((0, 0),) * (v.ndim - 1)
+                return jnp.asarray(np.pad(v, widths))
+            val_data = {c: _padcol(c) for c in batch_cols}
             if log_q_table is not None:
                 val_data["log_q"] = jnp.asarray(
                     log_q_table[np.asarray(val_data["movie_id"])]
@@ -663,6 +691,7 @@ class Trainer:
                 quick = evaluate(
                     jax.device_get(state.params), cfg.model, bundle, "val",
                     sample_cfg, seed=t_cfg.seed,
+                    dense=None if dense_feats is None else dense_feats["val"],
                 )
                 logs["val_recall@10"] = quick["recall@10"]
 
@@ -711,6 +740,7 @@ class Trainer:
         report = evaluate(
             jax.device_get(state.params), cfg.model, bundle, "val", cfg.eval,
             seed=t_cfg.seed,
+            dense=None if dense_feats is None else dense_feats["val"],
         )
         report["train_wall_time_s"] = wall
         report["examples_per_s"] = examples_total / max(wall, 1e-9)
@@ -732,6 +762,10 @@ class Trainer:
             bundle["meta/movie_raw_ids"],
             index=index,
             full_params=host_params,
+            feature_state=(
+                self._feature_engineer.state_dict()
+                if self._feature_engineer is not None else None
+            ),
         )
         self.final_state = state
         return report

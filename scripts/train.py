@@ -29,6 +29,11 @@ def build_config(args):
         DataConfig, EvalConfig, MeshConfig, ModelConfig, RecsysConfig, TrainConfig,
     )
 
+    dense = 0
+    if args.use_dense_features:
+        from recsys_tpu.data.features import FeatureEngineer
+
+        dense = FeatureEngineer.n_features()
     return RecsysConfig(
         model=ModelConfig(
             embedding_dim=args.embedding_dim,
@@ -36,6 +41,8 @@ def build_config(args):
             ctr_weight=args.ctr_weight,
             rating_weight=args.rating_weight,
             mixed_precision=args.bf16,
+            dense_features=dense,
+            softmax_temperature=args.softmax_temperature,
         ),
         data=DataConfig(
             negative_sampling=args.negative_sampling,
@@ -87,6 +94,12 @@ def main(argv=None) -> int:
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--eval_sample", type=int, default=0,
                     help="0 = full-split eval; N = reference-style sampled eval")
+    ap.add_argument("--use_dense_features", action="store_true",
+                    help="feed the engineered feature set into the DCN "
+                         "ranking input (the reference computes these "
+                         "features but never trains on them)")
+    ap.add_argument("--softmax_temperature", type=float, default=1.0,
+                    help="retrieval in-batch softmax temperature")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     dest="overrides",

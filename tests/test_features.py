@@ -40,7 +40,9 @@ def test_feature_matrix_shapes_and_finite(tiny_bundle):
         assert feats[split].shape == (len(tiny_bundle[f"{split}/user_id"]), len(names))
         assert np.isfinite(feats[split]).all()
     # standardized train columns: ~0 mean, <=1-ish std
-    assert np.abs(feats["train"].mean(0)).max() < 1e-3  # fp32 rounding
+    # ~0 mean up to fp32 rounding and the deliberate clip of >10σ
+    # outliers (clip_std), which shifts heavy-tailed columns slightly
+    assert np.abs(feats["train"].mean(0)).max() < 1e-2
     assert "user_genre_match" in names
 
 

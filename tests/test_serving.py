@@ -274,3 +274,63 @@ def test_numpy_ctr_forward_parity(trained_service):
         ).ctr_logit
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_dense_feature_rerank_serving(tmp_path_factory):
+    """A dense-features model serves two-stage rerank: features.npz
+    ships in the bundle, the NumPy host path matches the jitted path,
+    and recommendations come from the candidate set."""
+    import pandas as pd
+    import jax.numpy as jnp
+    from recsys_tpu.config import EvalConfig, ModelConfig, RecsysConfig, TrainConfig
+    from recsys_tpu.data.features import FeatureEngineer
+    from recsys_tpu.data.movielens import synthesize_ratings
+    from recsys_tpu.data.preprocessing import preprocessing_pipeline
+    from recsys_tpu.models.multitask import MultiTaskModel
+    from recsys_tpu.serve.service import RecommendationService
+    from recsys_tpu.train.trainer import Trainer
+
+    out = str(tmp_path_factory.mktemp("dense_serve"))
+    user_ids = np.arange(1, 41)
+    movie_ids = np.arange(1, 61) * 2
+    genres = np.array(["Drama", "Action", "Comedy"] * 20)
+    ratings = synthesize_ratings(user_ids, movie_ids, genres,
+                                 n_ratings=1200, seed=9)
+    movies = pd.DataFrame({"movie_id": movie_ids,
+                           "title": ["M (1991)"] * len(movie_ids),
+                           "genres": genres})
+    users = pd.DataFrame({"user_id": user_ids, "gender": ["F", "M"] * 20,
+                          "age": [35] * 40, "occupation": [2] * 40,
+                          "zip": ["1"] * 40})
+    bundle = preprocessing_pipeline(ratings, movies, users)
+    cfg = RecsysConfig(
+        model=ModelConfig(embedding_dim=8, user_tower_dims=(16,),
+                          item_tower_dims=(16,), cross_layers=1,
+                          dnn_dims=(8,), dropout_rate=0.0,
+                          mixed_precision=False,
+                          dense_features=FeatureEngineer.n_features()),
+        train=TrainConfig(batch_size=128, epochs=1, log_every_steps=1),
+        eval=EvalConfig(topk=(5,), eval_batch_size=128),
+    )
+    Trainer(cfg, output_dir=out).train(bundle)
+
+    svc = RecommendationService(f"{out}/serving", backend="native",
+                                rerank_candidates=15).load()
+    assert svc._rerank_active()
+    assert svc.feature_engineer is not None
+    uid = int(next(iter(svc.user_id_map)))
+    recs = svc.recommend(uid, k=5)
+    assert len(recs) == 5
+    # reranked top-5 is a subset of the retrieval top-15
+    svc_plain = RecommendationService(f"{out}/serving",
+                                      backend="native").load()
+    cand = {r["item_id"] for r in svc_plain.recommend(uid, k=15)}
+    assert all(r["item_id"] in cand for r in recs)
+
+    # NumPy rerank path == jitted rerank path (same dense features)
+    svc_dev = RecommendationService(f"{out}/serving", backend="device",
+                                    rerank_candidates=15).load()
+    recs_dev = svc_dev.recommend(uid, k=5)
+    assert [r["item_id"] for r in recs_dev] == [r["item_id"] for r in recs]
+    for a, b in zip(recs, recs_dev):
+        np.testing.assert_allclose(a["score"], b["score"], rtol=2e-3, atol=2e-4)

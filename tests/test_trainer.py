@@ -208,3 +208,57 @@ def test_sparse_table_updates_sharded_rows():
         losses.append(float(np.asarray(metrics["loss"])))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_dense_features_training(tiny_bundle, tmp_path):
+    """ModelConfig.dense_features: engineered features reach the DCN
+    ranking input (the capability the reference computes but never
+    uses, SURVEY §7.3); bundle ships features.npz for serving."""
+    from recsys_tpu.data.features import FeatureEngineer
+
+    f = FeatureEngineer.n_features(with_genres=True)
+    cfg = _cfg(epochs=4)
+    cfg = cfg.replace(model=dataclasses.replace(TINY_MODEL, dense_features=f))
+    tr = Trainer(cfg, output_dir=str(tmp_path / "dense"))
+    report = tr.train(tiny_bundle)
+    assert np.isfinite(report["rating_rmse"])
+    # temporal-extrapolation clip must keep the eval-path heads sane
+    # (unclipped, val features reach ~70 train-σ and the cross term
+    # blows the rating head to RMSE > 15)
+    assert report["rating_rmse"] < 2.5
+    assert 0.0 <= report["ctr_auc"] <= 1.0
+    assert (tmp_path / "dense" / "serving" / "features.npz").exists()
+    # feature-engineer state round-trips through the bundle
+    from recsys_tpu.train.checkpoint import load_feature_engineer
+
+    eng = load_feature_engineer(str(tmp_path / "dense" / "serving"))
+    assert eng is not None and eng.fitted
+    uid = tiny_bundle["val/user_id"][:64]
+    mid = tiny_bundle["val/movie_id"][:64]
+    ts = tiny_bundle["val/timestamp"][:64].astype(np.float64)
+    ref = tr._feature_engineer.transform_scaled(uid, mid, ts)
+    np.testing.assert_allclose(eng.transform_scaled(uid, mid, ts), ref,
+                               rtol=1e-6)
+
+
+def test_dense_features_streaming_path(tiny_bundle, tmp_path):
+    """Dense features must also flow through the streaming (non
+    device-resident) batcher path."""
+    from recsys_tpu.data.features import FeatureEngineer
+
+    f = FeatureEngineer.n_features(with_genres=True)
+    cfg = _cfg(epochs=2, device_resident_data=False)
+    cfg = cfg.replace(model=dataclasses.replace(TINY_MODEL, dense_features=f))
+    tr = Trainer(cfg, output_dir=str(tmp_path / "dense_stream"))
+    report = tr.train(tiny_bundle)
+    assert np.isfinite(report["rating_rmse"])
+
+
+def test_softmax_temperature_trains(tiny_bundle, tmp_path):
+    cfg = _cfg(epochs=2)
+    cfg = cfg.replace(
+        model=dataclasses.replace(TINY_MODEL, softmax_temperature=0.3)
+    )
+    tr = Trainer(cfg, output_dir=str(tmp_path / "temp"))
+    report = tr.train(tiny_bundle)
+    assert np.isfinite(report["recall@10"])
