@@ -92,86 +92,16 @@ def run_one(name: str, spec: dict, bundle) -> dict:
 def two_stage_eval(trainer, cfg, bundle) -> dict:
     """configs[3]: retrieval top-200 candidates -> DCN CTR-head rerank
     -> recall@10 of the reranked list (the full two-stage serving path
-    scored offline)."""
+    scored offline, via the shared library evaluator)."""
     import jax
-    import jax.numpy as jnp
 
-    from recsys_tpu.models.multitask import MultiTaskModel
-    from recsys_tpu.models.towers import TwoTower
-    from recsys_tpu.retrieval.scorer import materialize_item_embeddings, topk_scores
+    from recsys_tpu.retrieval.evaluator import two_stage_evaluate
 
-    params = jax.device_get(trainer.final_state.params)
-    mcfg = cfg.model
-    n_items = int(bundle["meta/n_movies"])
-    item_embs = materialize_item_embeddings(params["towers"], mcfg, n_items)
-
-    uid = bundle["val/user_id"][:8192]
-    mid = bundle["val/movie_id"][:8192]
-    val_ts = bundle["val/timestamp"][:8192].astype(np.float64)
-    n_cand = 200
-    eng = getattr(trainer, "_feature_engineer", None)
-
-    item_bias = jnp.asarray(
-        np.asarray(params["towers"]["item_bias"])[:n_items]
+    return two_stage_evaluate(
+        jax.device_get(trainer.final_state.params), cfg.model, bundle,
+        split="val", n_cand=200, ctr_weight=0.5, topk=10,
+        engineer=getattr(trainer, "_feature_engineer", None),
     )
-    n_users = int(bundle["meta/n_users"])
-    seen = np.zeros((n_users, n_items), bool)
-    seen[bundle["train/user_id"], bundle["train/movie_id"]] = True
-    seen_mask = jnp.asarray(seen)
-
-    from recsys_tpu.retrieval.evaluator import _topk_masked
-
-    @jax.jit
-    def retrieve(params, u_ids):
-        u_emb = TwoTower.user_embed(params["towers"], u_ids, mcfg)
-        return _topk_masked(
-            u_emb, item_embs, seen_mask, u_ids, n_cand,
-            normalize=False, item_bias=item_bias,
-        )
-
-    @jax.jit
-    def rerank(params, u_ids, cand_scores, cand, dense):
-        # rerank candidates: retrieval log-likelihood + CTR-head logit
-        B = u_ids.shape[0]
-        flat_items = cand.reshape(-1)
-        flat_users = jnp.repeat(u_ids, n_cand)
-        out = MultiTaskModel.apply(
-            params, mcfg, flat_users, flat_items, dense=dense
-        )
-        ctr = out.ctr_logit.reshape(B, n_cand)
-        combined = cand_scores + 0.5 * ctr
-        order = jnp.argsort(-combined, axis=1)
-        return jnp.take_along_axis(cand, order, axis=1)
-
-    preds = []
-    bs = 2048
-    for lo in range(0, len(uid), bs):
-        chunk = uid[lo : lo + bs]
-        ts_chunk = val_ts[lo : lo + bs]
-        pad = bs - len(chunk)
-        chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
-        ts_chunk = np.concatenate([ts_chunk, np.zeros(pad)])
-        cand_scores, cand = retrieve(params, jnp.asarray(chunk))
-        dense = None
-        if mcfg.dense_features and eng is not None:
-            cand_np = np.asarray(cand).reshape(-1)
-            flat_u = np.repeat(chunk, n_cand)
-            flat_ts = np.repeat(ts_chunk, n_cand)
-            dense = jnp.asarray(
-                eng.transform_scaled(flat_u, cand_np, flat_ts)
-            )
-        p = np.asarray(rerank(params, jnp.asarray(chunk), cand_scores,
-                              cand, dense))
-        preds.append(p[: bs - pad])
-    preds = np.concatenate(preds)
-
-    from recsys_tpu.retrieval.metrics import RankingMetrics
-
-    return {
-        "two_stage_recall@10": RankingMetrics.recall_at_k(preds[:, :10], mid, 10),
-        "two_stage_ndcg@10": RankingMetrics.ndcg_at_k(preds[:, :10], mid, 10),
-        "two_stage_candidates": n_cand,
-    }
 
 
 def main() -> int:

@@ -154,6 +154,100 @@ def evaluate(
     return report
 
 
+def two_stage_evaluate(
+    params: Dict,
+    cfg: ModelConfig,
+    bundle: Dict[str, np.ndarray],
+    split: str = "val",
+    n_cand: int = 200,
+    ctr_weight: float = 0.5,
+    topk: int = 10,
+    max_rows: int = 8192,
+    engineer=None,
+    seed: int = 42,
+) -> Dict[str, float]:
+    """Offline two-stage eval: retrieval top-``n_cand`` (seen-filtered,
+    dot + item bias) -> DCN CTR-head rerank by
+    ``retrieval_score + ctr_weight * ctr_logit`` -> recall/ndcg@k of the
+    reranked list. This scores the full two-stage serving path
+    (``RecommendationService(rerank_candidates=n_cand)``) offline; the
+    reference never serves its ranking head at all
+    (``app/recommendation_service.py`` is retrieval-only).
+
+    ``engineer``: fitted FeatureEngineer for ``cfg.dense_features``
+    models (fit here from the bundle when omitted)."""
+    from recsys_tpu.retrieval.metrics import RankingMetrics
+    from recsys_tpu.retrieval.scorer import materialize_item_embeddings
+    from recsys_tpu.models.towers import TwoTower
+
+    n_items = int(bundle["meta/n_movies"])
+    n_users = int(bundle["meta/n_users"])
+    uid = bundle[f"{split}/user_id"][:max_rows]
+    mid = bundle[f"{split}/movie_id"][:max_rows]
+    ts = bundle[f"{split}/timestamp"][:max_rows].astype(np.float64)
+
+    if cfg.dense_features > 0 and engineer is None:
+        from recsys_tpu.data.features import FeatureEngineer
+
+        engineer = FeatureEngineer(
+            n_users, n_items, item_genres=bundle.get("meta/movie_genres")
+        )
+        engineer.fit_transform_splits(bundle)  # fits stats + train scaler
+
+    item_embs = materialize_item_embeddings(params["towers"], cfg, n_items)
+    item_bias = jnp.asarray(np.asarray(params["towers"]["item_bias"])[:n_items])
+    seen = np.zeros((n_users, n_items), bool)
+    seen[bundle["train/user_id"], bundle["train/movie_id"]] = True
+    seen_mask = jnp.asarray(seen)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def retrieve(u_ids):
+        u_emb = TwoTower.user_embed(params["towers"], u_ids, cfg)
+        return _topk_masked(
+            u_emb, item_embs, seen_mask, u_ids, n_cand,
+            normalize=False, item_bias=item_bias,
+        )
+
+    @jax.jit
+    def rerank(u_ids, cand_scores, cand, dense):
+        b = u_ids.shape[0]
+        flat_i = cand.reshape(-1)
+        flat_u = jnp.repeat(u_ids, n_cand)
+        out = MultiTaskModel.apply(params, cfg, flat_u, flat_i, dense=dense)
+        combined = cand_scores + ctr_weight * out.ctr_logit.reshape(b, n_cand)
+        order = jnp.argsort(-combined, axis=1)
+        return jnp.take_along_axis(cand, order, axis=1)
+
+    preds = []
+    bs = 2048
+    for lo in range(0, len(uid), bs):
+        chunk, ts_chunk = uid[lo : lo + bs], ts[lo : lo + bs]
+        pad = bs - len(chunk)
+        chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
+        ts_chunk = np.concatenate([ts_chunk, np.zeros(pad)])
+        cand_scores, cand = retrieve(jnp.asarray(chunk))
+        dense = None
+        if cfg.dense_features > 0:
+            flat_u = np.repeat(chunk, n_cand)
+            flat_ts = np.repeat(ts_chunk, n_cand)
+            dense = jnp.asarray(engineer.transform_scaled(
+                flat_u, np.asarray(cand).reshape(-1), flat_ts
+            ))
+        p = np.asarray(rerank(jnp.asarray(chunk), cand_scores, cand, dense))
+        preds.append(p[: bs - pad])
+    preds = np.concatenate(preds)
+    return {
+        f"two_stage_recall@{topk}": RankingMetrics.recall_at_k(
+            preds[:, :topk], mid, topk
+        ),
+        f"two_stage_ndcg@{topk}": RankingMetrics.ndcg_at_k(
+            preds[:, :topk], mid, topk
+        ),
+        "two_stage_candidates": n_cand,
+        "two_stage_ctr_weight": ctr_weight,
+    }
+
+
 def _auc_host(scores: np.ndarray, labels: np.ndarray) -> float:
     """Rank-sum ROC-AUC in float64 with midrank tie handling. (The
     jittable ``losses.auc`` is float32 and loses precision past ~50k

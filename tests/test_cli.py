@@ -64,3 +64,34 @@ def test_train_cli(raw_dir, tmp_path):
     metrics = json.load(open(os.path.join(out_dir, "metrics.json")))
     assert "recall@10" in metrics
     assert os.path.exists(os.path.join(out_dir, "serving", "index.npz"))
+
+
+def test_evaluate_cli(raw_dir, tmp_path, capsys):
+    """recsys-eval: offline full-metric report + optional two-stage
+    rerank eval from a trained bundle (the reference has no eval CLI)."""
+    from scripts.evaluate import main as evaluate_main
+    from scripts.preprocess import main as preprocess_main
+    from scripts.train import main as train_main
+
+    bundle_path = str(tmp_path / "b.npz")
+    preprocess_main(["--data_dir", raw_dir, "--output", bundle_path,
+                     "--synthetic_ratings", "1500"])
+    out_dir = str(tmp_path / "model")
+    train_main([
+        "--data", bundle_path, "--output_dir", out_dir,
+        "--embedding_dim", "8", "--batch_size", "128", "--epochs", "1",
+        "--use_dense_features",
+    ])
+    report_path = str(tmp_path / "report.json")
+    rc = evaluate_main([
+        "--data", bundle_path, "--model_dir", f"{out_dir}/serving",
+        "--split", "test", "--topk", "5", "10", "--filter_seen",
+        "--rerank_candidates", "20", "--output", report_path,
+    ])
+    assert rc == 0
+    report = json.load(open(report_path))
+    for key in ("recall@10", "ndcg@10", "rating_rmse",
+                "two_stage_recall@10", "two_stage_ndcg@10"):
+        assert key in report, key
+        assert np.isfinite(report[key])
+    assert report["split"] == "test"
