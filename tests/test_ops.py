@@ -31,6 +31,31 @@ def test_dcn_cross_kernel_fwd_bwd():
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-3)
 
 
+def test_dcn_cross_kernel_dense_feature_width():
+    """Dense-features models feed the DCN a non-power-of-two x0 width
+    (2*embedding_dim + n_features, e.g. 285): the fused kernel must
+    match XLA at arbitrary widths, multi-tile grids included. Error
+    tolerance is relative to the gradient's own scale (fp32 reduction
+    order differs between the kernel's per-tile accumulation and XLA)."""
+    rng = np.random.default_rng(2)
+    n, d, L = 96, 285, 3  # 96 -> 3 tiles of 32
+    x0 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(L, d)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(L, d)).astype(np.float32) * 0.1)
+    f = np.asarray(dcn_cross_fused(x0, w, b))
+    r = np.asarray(dcn_cross_reference(x0, w, b))
+    np.testing.assert_allclose(f, r, atol=1e-4 * max(np.abs(r).max(), 1.0))
+    ga = jax.grad(lambda *a: jnp.sum(dcn_cross_fused(*a) ** 2),
+                  argnums=(0, 1, 2))(x0, w, b)
+    gr = jax.grad(lambda *a: jnp.sum(dcn_cross_reference(*a) ** 2),
+                  argnums=(0, 1, 2))(x0, w, b)
+    for a, rr in zip(ga, gr):
+        scale = max(float(np.abs(np.asarray(rr)).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(rr), atol=1e-5 * scale,
+        )
+
+
 @pytest.mark.parametrize("n_items,block", [(100, 32), (256, 64), (64, 64), (50, 64)])
 def test_blockwise_topk_matches_dense(n_items, block):
     rng = np.random.default_rng(1)
