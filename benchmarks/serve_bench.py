@@ -229,6 +229,7 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "device", "native"])
+    ap.add_argument("--output", default="benchmarks/results/serving.json")
     ap.add_argument("--workers", type=int, default=4,
                     help="SO_REUSEPORT processes for the multi-worker bench "
                          "(0 = skip)")
@@ -276,7 +277,7 @@ def main() -> int:
             workers=args.workers,
         )
     os.makedirs("benchmarks/results", exist_ok=True)
-    with open("benchmarks/results/serving.json", "w") as f:
+    with open(args.output, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
     return 0

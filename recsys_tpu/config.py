@@ -183,6 +183,14 @@ class TrainConfig:
     # implemented); ignored for other optimizers and for the
     # explicit-negatives path. Values: "auto" | True | False.
     sparse_table_updates: Any = "auto"
+    # jax_debug_nans: every jitted computation re-runs eagerly on NaN
+    # so the faulting primitive is named (SURVEY §5.2)
+    debug_nans: bool = False
+    # every N epochs, checksum the nominally replicated params on every
+    # data-axis device and raise on drift — the TPU-native analogue of
+    # race detection (replica desync from a bad collective or RNG leak);
+    # 0 = off (utils/debug.py)
+    replication_check_every_epochs: int = 0
     # Dropout-mask PRNG: "rbg" uses the hardware RngBitGenerator
     # (threefry mask generation alone is ~45% of a B=4096 step on a
     # v5e chip; rbg recovers it — 0.93 -> 0.53 ms/step measured).

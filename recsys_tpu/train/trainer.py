@@ -445,6 +445,10 @@ class Trainer:
         n_items = int(bundle["meta/n_movies"])
         logger.info("training: %d users, %d items, mesh=%s", n_users, n_items,
                     dict(self.ctx.mesh.shape))
+        if t_cfg.debug_nans:
+            from recsys_tpu.utils.debug import enable_nan_checks
+
+            enable_nan_checks()
         self.writer.write_config(cfg)
 
         # class weights (src/trainer.py:139-146)
@@ -694,6 +698,16 @@ class Trainer:
                     dense=None if dense_feats is None else dense_feats["val"],
                 )
                 logs["val_recall@10"] = quick["recall@10"]
+
+            if (t_cfg.replication_check_every_epochs
+                    and (epoch + 1) % t_cfg.replication_check_every_epochs == 0
+                    and self.ctx.n_data > 1):
+                from recsys_tpu.utils.debug import assert_replicated
+
+                sums = assert_replicated(
+                    state.params, self.ctx.mesh, self.ctx.data_axis
+                )
+                logs["replica_checksum"] = float(sums[0])
 
             entry = self.writer.end_epoch(epoch, logs)
             monitor = t_cfg.early_stop_metric

@@ -1,0 +1,104 @@
+"""Determinism / desync debugging tools (SURVEY §5.2).
+
+The reference has no race detection of any kind (single-process TF).
+The TPU-native analogue of a race is **replica desynchronization**:
+parameters that are nominally replicated over the ``data`` mesh axis
+drifting apart across devices or hosts (a bad collective, a per-replica
+RNG leak, a nondeterministic reduction). These helpers make that
+observable:
+
+* :func:`per_device_checksums` — one order-independent checksum of a
+  (nominally replicated) pytree per data-axis slot, computed on device
+  via ``shard_map``.
+* :func:`assert_replicated` — raises when replicas disagree.
+* :func:`enable_nan_checks` — turns on ``jax_debug_nans`` (every jitted
+  computation re-runs un-jitted on NaN so the faulting op is named).
+
+Wired into the trainer via ``TrainConfig.replication_check_every_epochs``
+and ``TrainConfig.debug_nans``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _tree_checksum(tree: Any) -> jnp.ndarray:
+    """Order-independent fp32 checksum of every leaf: sum of |x| plus
+    sum of x (catches sign flips that |x| alone would miss)."""
+    total = jnp.float32(0.0)
+    for leaf in jax.tree.leaves(tree):
+        if not hasattr(leaf, "dtype"):
+            continue
+        if jnp.issubdtype(leaf.dtype, jnp.floating) or jnp.issubdtype(
+            leaf.dtype, jnp.integer
+        ):
+            x = leaf.astype(jnp.float32)
+            total = total + jnp.sum(jnp.abs(x)) + jnp.sum(x)
+    return total
+
+
+def per_device_checksums(tree: Any, mesh: Mesh, data_axis: str = "data"):
+    """Checksum the pytree independently on every device.
+
+    The input is treated as replicated (``P()``); each device computes
+    the checksum of ITS copy, so the returned ``[n_devices]`` vector is
+    constant iff the replicas agree. Model-axis sharded leaves (row-
+    sharded tables) are excluded — they are *supposed* to differ per
+    model slot; this checks the replication contract only."""
+
+    # Only leaves that are fully replicated participate; rows-sharded
+    # tables (PartitionSpec with a named axis) are deliberately skipped.
+    def _replicated(leaf) -> bool:
+        sh = getattr(leaf, "sharding", None)
+        spec = getattr(sh, "spec", None)
+        if spec is None:
+            return True
+        return all(s is None for s in spec)
+
+    rep_leaves = [l for l in jax.tree.leaves(tree) if _replicated(l)]
+
+    all_axes = tuple(mesh.axis_names)
+    # one checksum per DEVICE (replicated leaves must agree everywhere,
+    # the data/model distinction only matters for which leaves
+    # participate); a tuple spec packs every mesh axis onto one dim
+    ordered = (data_axis,) + tuple(n for n in all_axes if n != data_axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(),  # pytree prefix: every leaf replicated
+        out_specs=P(ordered),
+    )
+    def _per_slot(leaves):
+        return _tree_checksum(leaves).reshape(1)
+
+    return np.asarray(_per_slot(rep_leaves))
+
+
+def assert_replicated(tree: Any, mesh: Mesh, data_axis: str = "data",
+                      rtol: float = 1e-6) -> np.ndarray:
+    """Raise ``RuntimeError`` if nominally replicated state has drifted
+    across the data axis. Returns the per-slot checksums on success."""
+    sums = per_device_checksums(tree, mesh, data_axis)
+    ref = sums[0]
+    tol = rtol * max(abs(float(ref)), 1.0)
+    if np.any(np.abs(sums - ref) > tol):
+        raise RuntimeError(
+            f"replica desync detected: per-device checksums {sums.tolist()} "
+            f"(tolerance {tol:.3g}) — nominally replicated state differs "
+            f"across the '{data_axis}' mesh axis"
+        )
+    return sums
+
+
+def enable_nan_checks() -> None:
+    """``jax_debug_nans``: any NaN produced under jit re-runs the op
+    eagerly and raises with the faulting primitive named."""
+    jax.config.update("jax_debug_nans", True)

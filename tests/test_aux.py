@@ -85,3 +85,73 @@ def test_config_dotted_replace_and_roundtrip(tmp_path):
     cfg2.save(p)
     cfg3 = RecsysConfig.load(p)
     assert cfg3 == cfg2
+
+
+def test_replication_checksum_clean_and_desynced():
+    """utils/debug: per-device checksums agree for genuinely replicated
+    state and detect a deliberately desynced replica (the TPU-native
+    race-detection analogue, SURVEY §5.2)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.utils.debug import assert_replicated, per_device_checksums
+
+    ctx = make_mesh(model_parallel=2)
+    rep = NamedSharding(ctx.mesh, P())
+    tree = {
+        "w": jax.device_put(jnp.arange(32, dtype=jnp.float32), rep),
+        "b": jax.device_put(jnp.ones((4, 8), jnp.float32), rep),
+    }
+    sums = assert_replicated(tree, ctx.mesh, ctx.data_axis)
+    assert len(sums) == ctx.n_data * ctx.n_model
+    assert np.allclose(sums, sums[0])
+
+    # rows-sharded leaves are excluded (they legitimately differ)
+    rows = NamedSharding(ctx.mesh, P(ctx.model_axis, None))
+    tree["table"] = jax.device_put(
+        jnp.arange(64, dtype=jnp.float32).reshape(8, 8), rows
+    )
+    assert_replicated(tree, ctx.mesh, ctx.data_axis)
+
+    # deliberately desync one replica: same P() layout claim, different
+    # buffer contents per device
+    devs = list(ctx.mesh.devices.flat)
+    host = np.ones((16,), np.float32)
+    bufs = []
+    for i, d in enumerate(devs):
+        arr = host.copy()
+        if i == len(devs) - 1:
+            arr[0] += 0.5  # the "race"
+        bufs.append(jax.device_put(arr, d))
+    desynced = jax.make_array_from_single_device_arrays(
+        (16,), rep, bufs
+    )
+    bad = {"w": desynced}
+    with pytest.raises(RuntimeError, match="replica desync"):
+        assert_replicated(bad, ctx.mesh, ctx.data_axis)
+
+
+def test_trainer_replication_check_runs(tiny_bundle, tmp_path):
+    """TrainConfig.replication_check_every_epochs wires the checksum
+    into the epoch loop and logs it."""
+    import json as _json
+
+    from recsys_tpu.config import EvalConfig, ModelConfig, RecsysConfig, TrainConfig
+    from recsys_tpu.train.trainer import Trainer
+
+    cfg = RecsysConfig(
+        model=ModelConfig(embedding_dim=8, user_tower_dims=(16,),
+                          item_tower_dims=(16,), cross_layers=1,
+                          dnn_dims=(8,), dropout_rate=0.0,
+                          mixed_precision=False),
+        train=TrainConfig(batch_size=256, epochs=2, log_every_steps=1,
+                          replication_check_every_epochs=1),
+        eval=EvalConfig(topk=(5,), eval_batch_size=256),
+    )
+    tr = Trainer(cfg, output_dir=str(tmp_path / "repl"))
+    tr.train(tiny_bundle)
+    hist = _json.load(open(tmp_path / "repl" / "detailed_metrics.json"))["epochs"]
+    assert "replica_checksum" in hist[0]
+    assert np.isfinite(hist[0]["replica_checksum"])
