@@ -37,10 +37,12 @@ def _percentiles(lat_ms):
     }
 
 
-def bench_http(service, user_ids, n_requests: int, n_clients: int, k: int):
+def bench_http(service, user_ids, n_requests: int, n_clients: int, k: int,
+               batcher=None):
     from recsys_tpu.serve.app import make_http_server
 
-    server = make_http_server(service, host="127.0.0.1", port=0)
+    server = make_http_server(service, host="127.0.0.1", port=0,
+                              batcher=batcher)
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -82,7 +84,10 @@ def bench_http(service, user_ids, n_requests: int, n_clients: int, k: int):
         th.join()
     wall = time.perf_counter() - t0
     server.shutdown()
-    return {"qps": n_requests / wall, **_percentiles(lat), "clients": n_clients}
+    out = {"qps": n_requests / wall, **_percentiles(lat), "clients": n_clients}
+    if batcher is not None:
+        out["microbatch"] = batcher.stats()
+    return out
 
 
 def bench_service(service, user_ids, n_requests: int, k: int):
@@ -115,7 +120,7 @@ def bench_batch(service, user_ids, n_batches: int, batch: int, k: int):
 
 def bench_multiworker(model_dir: str, n_requests: int, k: int,
                       workers: int = 4, client_procs: int = 4,
-                      client_threads: int = 8):
+                      client_threads: int = 8, microbatch: int = 0):
     """Out-of-process bench: fork `workers` SO_REUSEPORT serving
     processes via scripts/serve.py (the production multi-worker mode),
     hammer them with keep-alive connections from separate client
@@ -135,7 +140,7 @@ def bench_multiworker(model_dir: str, n_requests: int, k: int,
     proc = subprocess.Popen(
         [sys.executable, os.path.join(repo, "scripts", "serve.py"),
          "--model_dir", model_dir, "--port", str(port),
-         "--workers", str(workers)],
+         "--workers", str(workers), "--microbatch", str(microbatch)],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True,
     )
@@ -261,6 +266,15 @@ def main() -> int:
         "http_single": bench_http(service, user_ids, args.requests,
                                   args.clients, args.k),
     }
+    # same HTTP load, but concurrent requests coalesce into batched
+    # scoring calls (the dynamic micro-batcher)
+    from recsys_tpu.serve.batcher import MicroBatcher
+
+    with MicroBatcher(service, max_batch=256) as mb:
+        result["http_single_microbatch"] = bench_http(
+            service, user_ids, args.requests, args.clients, args.k,
+            batcher=mb,
+        )
     # two-stage (retrieve -> DCN rerank) service-layer numbers, when the
     # bundle ships full params
     rr = RecommendationService(
@@ -275,6 +289,10 @@ def main() -> int:
         result["http_multiworker"] = bench_multiworker(
             args.model_dir, max(args.requests * 10, 20000), args.k,
             workers=args.workers,
+        )
+        result["http_multiworker_microbatch"] = bench_multiworker(
+            args.model_dir, max(args.requests * 10, 20000), args.k,
+            workers=args.workers, microbatch=256,
         )
     os.makedirs("benchmarks/results", exist_ok=True)
     with open(args.output, "w") as f:

@@ -48,10 +48,16 @@ def _require(cond: bool, msg: str) -> None:
 
 
 class Api:
-    """Transport-independent endpoint implementations."""
+    """Transport-independent endpoint implementations.
 
-    def __init__(self, service: Optional[RecommendationService]):
+    ``batcher``: optional started :class:`~recsys_tpu.serve.batcher.
+    MicroBatcher`; when set, ``/recommend`` routes through it so
+    concurrent requests share one batched scoring call."""
+
+    def __init__(self, service: Optional[RecommendationService],
+                 batcher=None):
         self.service = service
+        self.batcher = batcher
 
     # each handler returns (status_code, payload_dict)
     def root(self) -> Tuple[int, Dict]:
@@ -84,7 +90,10 @@ class Api:
         k = body.get("k", 10)
         _require(isinstance(k, int) and 1 <= k <= MAX_K,
                  f"k must be int in [1, {MAX_K}]")
-        recs = self.service.recommend(body["user_id"], k)
+        if self.batcher is not None:
+            recs = self.batcher.recommend(body["user_id"], k)
+        else:
+            recs = self.service.recommend(body["user_id"], k)
         return 200, {
             "user_id": body["user_id"],
             "recommendations": recs,
@@ -162,8 +171,9 @@ def make_http_server(
     host: str = "0.0.0.0",
     port: int = 8000,
     reuse_port: bool = False,
+    batcher=None,
 ) -> ThreadingHTTPServer:
-    api = Api(service)
+    api = Api(service, batcher=batcher)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # keep-alive (we always send Content-Length)
@@ -196,6 +206,11 @@ def make_http_server(
             logger.debug("%s - %s", self.address_string(), fmt % args)
 
     class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5 — a burst of
+        # concurrent keep-alive clients connecting at once overflows it
+        # and gets connection resets
+        request_queue_size = 128
+
         def server_bind(self):
             if reuse_port:
                 import socket as _socket
@@ -209,7 +224,8 @@ def make_http_server(
 
 
 def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
-               stub: bool = False, rerank_candidates: int = 0) -> None:
+               stub: bool = False, rerank_candidates: int = 0,
+               microbatch: int = 0, microbatch_wait_ms: float = 0.0) -> None:
     service: Optional[RecommendationService] = None
     if stub:
         from recsys_tpu.serve.service import StubRecommendationService
@@ -224,8 +240,16 @@ def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
             logger.exception(
                 "model load failed; serving in degraded mode (503s)"
             )
-    server = make_http_server(service, host, port, reuse_port=reuse_port)
-    logger.info("serving on %s:%d (model_dir=%s)", host, port, model_dir)
+    batcher = None
+    if microbatch > 0 and service is not None:
+        from recsys_tpu.serve.batcher import MicroBatcher
+
+        batcher = MicroBatcher(service, max_batch=microbatch,
+                               max_wait_ms=microbatch_wait_ms).start()
+    server = make_http_server(service, host, port, reuse_port=reuse_port,
+                              batcher=batcher)
+    logger.info("serving on %s:%d (model_dir=%s, microbatch=%d)",
+                host, port, model_dir, microbatch)
     server.serve_forever()
 
 
@@ -236,6 +260,8 @@ def serve_forever(
     workers: int = 1,
     stub: bool = False,
     rerank_candidates: int = 0,
+    microbatch: int = 0,
+    microbatch_wait_ms: float = 0.0,
 ) -> None:
     """Load the inference bundle and serve (uvicorn-replacement entry).
     Startup-failure contract parity (``app/main.py:105-119``): if the
@@ -249,7 +275,9 @@ def serve_forever(
     JAX/device state crosses the fork boundary."""
     if workers <= 1:
         _serve_one(model_dir, host, port, reuse_port=False, stub=stub,
-                   rerank_candidates=rerank_candidates)
+                   rerank_candidates=rerank_candidates,
+                   microbatch=microbatch,
+                   microbatch_wait_ms=microbatch_wait_ms)
         return
     import os as _os
     import signal as _signal
@@ -259,7 +287,9 @@ def serve_forever(
         pid = _os.fork()
         if pid == 0:
             _serve_one(model_dir, host, port, reuse_port=True, stub=stub,
-                       rerank_candidates=rerank_candidates)
+                       rerank_candidates=rerank_candidates,
+                       microbatch=microbatch,
+                       microbatch_wait_ms=microbatch_wait_ms)
             _os._exit(0)
         pids.append(pid)
     logger.info("forked %d serving workers on %s:%d", workers, host, port)

@@ -30,6 +30,13 @@ def main(argv=None) -> int:
     ap.add_argument("--workers", type=int, default=1,
                     help="forked SO_REUSEPORT serving processes (use with "
                          "the host-side scoring backend; >1 sidesteps the GIL)")
+    ap.add_argument("--microbatch", type=int, default=0,
+                    help="dynamic micro-batching: coalesce concurrent "
+                         "/recommend requests into one batched scoring call "
+                         "of up to this many users (0 = off)")
+    ap.add_argument("--microbatch_wait_ms", type=float, default=0.0,
+                    help="hold the first request of a micro-batch this long "
+                         "to let the batch grow (0 = drain-what's-there)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -39,7 +46,9 @@ def main(argv=None) -> int:
 
     serve_forever(args.model_dir, args.host, args.port,
                   workers=args.workers, stub=args.stub,
-                  rerank_candidates=args.rerank_candidates)
+                  rerank_candidates=args.rerank_candidates,
+                  microbatch=args.microbatch,
+                  microbatch_wait_ms=args.microbatch_wait_ms)
     return 0
 
 

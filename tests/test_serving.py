@@ -334,3 +334,115 @@ def test_dense_feature_rerank_serving(tmp_path_factory):
     assert [r["item_id"] for r in recs_dev] == [r["item_id"] for r in recs]
     for a, b in zip(recs, recs_dev):
         np.testing.assert_allclose(a["score"], b["score"], rtol=2e-3, atol=2e-4)
+
+
+# ---- dynamic micro-batching -------------------------------------------
+
+def test_microbatcher_matches_direct_recommend(trained_service):
+    """Concurrent requests through the batcher return exactly what a
+    direct service.recommend would, including mixed per-request k and
+    the cold-start fallback."""
+    from recsys_tpu.serve.batcher import MicroBatcher
+
+    svc, bundle = trained_service
+    raw_users = [int(u) for u in bundle["meta/user_raw_ids"][:12]]
+    jobs = [(u, 3 + (i % 4)) for i, u in enumerate(raw_users)]
+    jobs.append((99999, 5))  # cold start
+    expected = {(u, k): svc.recommend(u, k) for u, k in jobs}
+
+    with MicroBatcher(svc, max_batch=8, max_wait_ms=5.0) as mb:
+        results = {}
+        lock = threading.Lock()
+
+        def worker(u, k):
+            r = mb.recommend(u, k)
+            with lock:
+                results[(u, k)] = r
+
+        threads = [threading.Thread(target=worker, args=j) for j in jobs]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        stats = mb.stats()
+
+    assert stats["n_requests"] == len(jobs)
+    for key, recs in results.items():
+        assert len(recs) == key[1]
+        assert [r["item_id"] for r in recs] == \
+            [r["item_id"] for r in expected[key]]
+
+
+def test_microbatcher_actually_batches():
+    """Under concurrent load with a slow backend, requests coalesce:
+    far fewer recommend_batch calls than requests."""
+    import time as _time
+
+    from recsys_tpu.serve.batcher import MicroBatcher
+
+    svc = StubRecommendationService(n_users=100, n_items=50, dim=8)
+    calls = {"n": 0}
+    orig = svc.recommend_batch
+
+    def slow_batch(user_ids, k):
+        calls["n"] += 1
+        _time.sleep(0.02)  # hold the dispatcher so the queue builds up
+        return orig(user_ids, k)
+
+    svc.recommend_batch = slow_batch
+    n = 32
+    with MicroBatcher(svc, max_batch=64) as mb:
+        threads = [
+            threading.Thread(target=mb.recommend, args=(i % 50 + 1, 5))
+            for i in range(n)
+        ]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        stats = mb.stats()
+    assert stats["n_requests"] == n
+    assert calls["n"] < n / 2, f"no coalescing: {calls['n']} calls for {n} reqs"
+    assert stats["max_batch_seen"] > 1
+
+
+def test_microbatcher_error_and_stop():
+    from recsys_tpu.serve.batcher import MicroBatcher
+
+    svc = StubRecommendationService(n_users=10, n_items=20, dim=8)
+
+    def boom(user_ids, k):
+        raise RuntimeError("backend exploded")
+
+    svc.recommend_batch = boom
+    mb = MicroBatcher(svc).start()
+    with pytest.raises(RuntimeError, match="backend exploded"):
+        mb.recommend(1, 5)
+    mb.stop()
+    with pytest.raises(RuntimeError, match="not started"):
+        mb.recommend(1, 5)
+
+
+def test_http_recommend_via_microbatcher(trained_service):
+    """HTTP /recommend routed through the batcher keeps the exact
+    response contract."""
+    from recsys_tpu.serve.batcher import MicroBatcher
+
+    svc, bundle = trained_service
+    uid = int(bundle["meta/user_raw_ids"][0])
+    with MicroBatcher(svc, max_batch=32) as mb:
+        server = make_http_server(svc, host="127.0.0.1", port=0, batcher=mb)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            code, body = _req(port, "POST", "/recommend",
+                              {"user_id": uid, "k": 5})
+            assert code == 200 and body["count"] == 5
+            assert [r["rank"] for r in body["recommendations"]] == \
+                [1, 2, 3, 4, 5]
+            direct = svc.recommend(uid, 5)
+            assert [r["item_id"] for r in body["recommendations"]] == \
+                [r["item_id"] for r in direct]
+            # validation errors still 422 (never reach the batcher)
+            code, _ = _req(port, "POST", "/recommend",
+                           {"user_id": uid, "k": 0})
+            assert code == 422
+        finally:
+            server.shutdown()
