@@ -80,28 +80,45 @@ def topk_scores(
     return jax.lax.top_k(scores, k)
 
 
-def make_sharded_topk(ctx: MeshContext, k: int, normalize: bool = True):
+def make_sharded_topk(ctx: MeshContext, k: int, normalize: bool = True,
+                      masked: bool = False):
     """Sharded scorer: items row-sharded over ``model``, queries
     replicated along it (sharded over ``data``); per-shard top-k then
-    cross-shard merge (``collectives.merge_topk``)."""
+    cross-shard merge (``collectives.merge_topk``).
 
-    def body(user_emb, item_shard):
+    ``masked=True`` takes a third ``[n_items]`` bool argument (sharded
+    like the items) and excludes ``False`` rows — how catalog padding to
+    a shard multiple stays invisible to search results."""
+
+    def score_topk(user_emb, item_shard, mask_shard):
         if normalize:
             u = l2_normalize(user_emb)
             v = l2_normalize(item_shard)
         else:
             u, v = user_emb, item_shard
         scores = jnp.dot(u, v.T, preferred_element_type=jnp.float32)
+        if mask_shard is not None:
+            scores = jnp.where(mask_shard[None, :], scores, -jnp.inf)
         kk = min(k, item_shard.shape[0])
         s, i = jax.lax.top_k(scores, kk)
         gids = i + coll.axis_index(ctx.model_axis) * item_shard.shape[0]
         return coll.merge_topk(s, gids, k, axis=ctx.model_axis)
 
+    item_spec = P(ctx.model_axis, None)
+    if masked:
+        body = score_topk
+        in_specs = (P(ctx.data_axis, None), item_spec, P(ctx.model_axis))
+    else:
+        def body(user_emb, item_shard):
+            return score_topk(user_emb, item_shard, None)
+
+        in_specs = (P(ctx.data_axis, None), item_spec)
+
     return jax.jit(
         jax.shard_map(
             body,
             mesh=ctx.mesh,
-            in_specs=(P(ctx.data_axis, None), P(ctx.model_axis, None)),
+            in_specs=in_specs,
             out_specs=(P(ctx.data_axis, None), P(ctx.data_axis, None)),
             check_vma=False,
         )
@@ -179,6 +196,10 @@ class RetrievalIndex:
         sel = jnp.take(self.item_embeddings, jnp.asarray(item_ids), axis=0)
         return np.asarray(jnp.einsum("qd,nd->qn", user_emb, sel))
 
+    def shard(self, ctx: MeshContext) -> "ShardedIndex":
+        """Place this catalog row-sharded over ``ctx``'s model axis."""
+        return ShardedIndex(self, ctx)
+
     # ---- artifact io ----------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -195,3 +216,54 @@ class RetrievalIndex:
             return cls(
                 z["item_embeddings"], z["item_raw_ids"], bool(z["normalize"])
             )
+
+
+class ShardedIndex:
+    """A :class:`RetrievalIndex` whose catalog is row-sharded over the
+    ``model`` axis of a device mesh — the multi-chip FAISS replacement:
+    each device holds ``n_items / n_model`` rows, search is a per-shard
+    normalized matmul + ``lax.top_k`` and a cross-shard candidate merge
+    (k·n_model values over ICI, tiny vs the catalog). Catalogs larger
+    than one chip's HBM serve from however many chips it takes without
+    any host-side index file.
+
+    Rows are zero-padded to a shard multiple; a sharded validity mask
+    keeps pad rows out of every result. Queries are padded to a
+    ``data``-axis multiple and trimmed on return.
+    """
+
+    def __init__(self, index: RetrievalIndex, ctx: MeshContext):
+        self.ctx = ctx
+        self.item_raw_ids = index.item_raw_ids
+        self.normalize = index.normalize
+        embs = index.item_embeddings_np
+        n, d = embs.shape
+        self.n_items = n
+        n_pad = -(-n // ctx.n_model) * ctx.n_model
+        host = np.zeros((n_pad, d), np.float32)
+        host[:n] = embs
+        mask = np.zeros((n_pad,), bool)
+        mask[:n] = True
+        self.item_embeddings = jax.device_put(
+            host, ctx.sharding(ctx.model_axis, None)
+        )
+        self.item_mask = jax.device_put(mask, ctx.sharding(ctx.model_axis))
+        self._fns: Dict[int, object] = {}
+
+    def search(self, user_emb, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (scores [Q,k], dense item ids [Q,k]), global ids < n_items."""
+        u = np.asarray(user_emb, np.float32)
+        q = u.shape[0]
+        q_pad = -(-q // self.ctx.n_data) * self.ctx.n_data
+        if q_pad != q:
+            u = np.concatenate(
+                [u, np.zeros((q_pad - q, u.shape[1]), np.float32)]
+            )
+        fn = self._fns.get(k)
+        if fn is None:
+            fn = self._fns[k] = make_sharded_topk(
+                self.ctx, k, self.normalize, masked=True
+            )
+        ud = jax.device_put(u, self.ctx.sharding(self.ctx.data_axis, None))
+        s, i = fn(ud, self.item_embeddings, self.item_mask)
+        return np.asarray(s)[:q], np.asarray(i)[:q]

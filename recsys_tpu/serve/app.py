@@ -225,7 +225,8 @@ def make_http_server(
 
 def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
                stub: bool = False, rerank_candidates: int = 0,
-               microbatch: int = 0, microbatch_wait_ms: float = 0.0) -> None:
+               microbatch: int = 0, microbatch_wait_ms: float = 0.0,
+               backend: str = "auto") -> None:
     service: Optional[RecommendationService] = None
     if stub:
         from recsys_tpu.serve.service import StubRecommendationService
@@ -234,7 +235,8 @@ def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
     else:
         try:
             service = RecommendationService(
-                model_dir, rerank_candidates=rerank_candidates
+                model_dir, backend=backend,
+                rerank_candidates=rerank_candidates,
             ).load()
         except Exception:
             logger.exception(
@@ -262,6 +264,7 @@ def serve_forever(
     rerank_candidates: int = 0,
     microbatch: int = 0,
     microbatch_wait_ms: float = 0.0,
+    backend: str = "auto",
 ) -> None:
     """Load the inference bundle and serve (uvicorn-replacement entry).
     Startup-failure contract parity (``app/main.py:105-119``): if the
@@ -277,7 +280,7 @@ def serve_forever(
         _serve_one(model_dir, host, port, reuse_port=False, stub=stub,
                    rerank_candidates=rerank_candidates,
                    microbatch=microbatch,
-                   microbatch_wait_ms=microbatch_wait_ms)
+                   microbatch_wait_ms=microbatch_wait_ms, backend=backend)
         return
     import os as _os
     import signal as _signal
@@ -289,7 +292,8 @@ def serve_forever(
             _serve_one(model_dir, host, port, reuse_port=True, stub=stub,
                        rerank_candidates=rerank_candidates,
                        microbatch=microbatch,
-                       microbatch_wait_ms=microbatch_wait_ms)
+                       microbatch_wait_ms=microbatch_wait_ms,
+                       backend=backend)
             _os._exit(0)
         pids.append(pid)
     logger.info("forked %d serving workers on %s:%d", workers, host, port)

@@ -41,16 +41,24 @@ logger = logging.getLogger(__name__)
 
 class RecommendationService:
     """``backend``: "device" (jitted on-device scorer — the TPU path),
-    "native" (C++ multithreaded exact top-k, the CPU-host fallback in
-    the FAISS role), or "auto" (native when no accelerator is present)."""
+    "sharded" (catalog row-sharded over the ``model`` axis of a device
+    mesh, per-shard top-k + cross-shard merge — the multi-chip path for
+    catalogs larger than one chip's HBM), "native" (C++ multithreaded
+    exact top-k, the CPU-host fallback in the FAISS role), or "auto"
+    (native when no accelerator is present).
+
+    ``mesh_ctx``: the mesh for the sharded backend; defaults to all
+    devices on the ``model`` axis."""
 
     def __init__(self, model_dir: str, backend: str = "auto",
                  approx_search_threshold: int = 1_000_000,
                  rerank_candidates: int = 0,
-                 rerank_ctr_weight: float = 0.5):
-        if backend not in ("auto", "device", "native"):
+                 rerank_ctr_weight: float = 0.5,
+                 mesh_ctx=None):
+        if backend not in ("auto", "device", "native", "sharded"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
+        self.mesh_ctx = mesh_ctx
         # device backend: catalogs larger than this stream blocks with
         # the hardware approx_max_k (recall@10 0.999 vs exact measured
         # at 8M items / dim 128). 0 disables approx entirely.
@@ -108,6 +116,16 @@ class RecommendationService:
                 )
                 self.model_params = None
         self.index = RetrievalIndex.load(os.path.join(d, "index.npz"))
+        if self.backend == "sharded":
+            if self.mesh_ctx is None:
+                import jax
+
+                from recsys_tpu.parallel.mesh import make_mesh
+
+                self.mesh_ctx = make_mesh(
+                    model_parallel=len(jax.devices()), data_parallel=1
+                )
+            self._sharded = self.index.shard(self.mesh_ctx)
         self._popular = [int(r) for r in self.index.item_raw_ids[:200]]
         self._ready = True
         logger.info(
@@ -133,6 +151,8 @@ class RecommendationService:
 
     def _search(self, u_emb, k: int):
         """Cosine top-k via the resolved backend."""
+        if self._resolved_backend() == "sharded":
+            return self._sharded.search(u_emb, k)
         if self._resolved_backend() == "native":
             from recsys_tpu.utils.native import topk_dot
 

@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     ap.add_argument("--microbatch_wait_ms", type=float, default=0.0,
                     help="hold the first request of a micro-batch this long "
                          "to let the batch grow (0 = drain-what's-there)")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "device", "native", "sharded"],
+                    help="scoring backend: jitted on-device, mesh-sharded "
+                         "catalog (multi-chip), host C++ top-k, or auto")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -48,7 +52,8 @@ def main(argv=None) -> int:
                   workers=args.workers, stub=args.stub,
                   rerank_candidates=args.rerank_candidates,
                   microbatch=args.microbatch,
-                  microbatch_wait_ms=args.microbatch_wait_ms)
+                  microbatch_wait_ms=args.microbatch_wait_ms,
+                  backend=args.backend)
     return 0
 
 

@@ -95,3 +95,28 @@ def test_sharded_topk_matches_single_device():
     s_ref, i_ref = topk_scores(jnp.asarray(users), jnp.asarray(items), k)
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+
+
+def test_sharded_index_matches_dense():
+    """ShardedIndex (catalog row-sharded over the model axis, padded to
+    a shard multiple, masked) returns exactly the dense single-device
+    top-k — including k larger than one shard's row count."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.retrieval.scorer import RetrievalIndex, topk_scores
+
+    rng = np.random.default_rng(0)
+    # 77 rows over 4 shards -> padded to 80 with 3 masked pad rows
+    idx = RetrievalIndex(
+        rng.normal(size=(77, 16)).astype(np.float32), np.arange(77)
+    )
+    ctx = make_mesh(model_parallel=4)
+    sh = idx.shard(ctx)
+    q = rng.normal(size=(5, 16)).astype(np.float32)
+    for k in (10, 25):  # 25 > 20 rows/shard
+        s_sh, i_sh = sh.search(q, k)
+        s_d, i_d = topk_scores(jnp.asarray(q), idx.item_embeddings, k)
+        assert np.allclose(s_sh, np.asarray(s_d), atol=1e-5)
+        assert (i_sh == np.asarray(i_d)).all()
+        assert (i_sh < 77).all()  # pad rows never surface

@@ -446,3 +446,27 @@ def test_http_recommend_via_microbatcher(trained_service):
             assert code == 422
         finally:
             server.shutdown()
+
+
+def test_sharded_backend_serving(trained_service, tmp_path):
+    """backend="sharded": the catalog served row-sharded over an
+    8-device mesh gives the same recommendations as the single-device
+    backend."""
+    from recsys_tpu.parallel.mesh import make_mesh
+
+    svc, bundle = trained_service
+    ctx = make_mesh(model_parallel=4, data_parallel=2)
+    sh_svc = RecommendationService(
+        svc.model_dir, backend="sharded", mesh_ctx=ctx
+    ).load()
+    for uid in [int(u) for u in bundle["meta/user_raw_ids"][:4]]:
+        a = svc.recommend(uid, k=7)
+        b = sh_svc.recommend(uid, k=7)
+        assert [r["item_id"] for r in a] == [r["item_id"] for r in b]
+        assert np.allclose([r["score"] for r in a],
+                           [r["score"] for r in b], atol=1e-5)
+    # batch path + cold start through the sharded searcher
+    uids = [int(u) for u in bundle["meta/user_raw_ids"][:3]] + [99999]
+    rows = sh_svc.recommend_batch(uids, k=5)
+    assert rows[-1]["status"] == "cold_start"
+    assert all(len(r["recommendations"]) == 5 for r in rows)
