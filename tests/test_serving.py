@@ -470,3 +470,44 @@ def test_sharded_backend_serving(trained_service, tmp_path):
     rows = sh_svc.recommend_batch(uids, k=5)
     assert rows[-1]["status"] == "cold_start"
     assert all(len(r["recommendations"]) == 5 for r in rows)
+
+
+# ---- AOT export (jax.export) ------------------------------------------
+
+def test_aot_export_roundtrip(trained_service, tmp_path):
+    """Export the retrieve path to a serialized StableHLO artifact and
+    run it back: results must match the live index search, across
+    different (symbolic) batch sizes."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.retrieval.scorer import topk_scores
+    from recsys_tpu.serve.export import export_retrieve, load_exported
+    from recsys_tpu.models.towers import TwoTower
+
+    svc, bundle = trained_service
+    path = str(tmp_path / "retrieve.hlo")
+    meta = export_retrieve(svc.model_dir, path, k=5)
+    assert meta["bytes"] > 0 and (tmp_path / "retrieve.hlo.json").exists()
+
+    fn = load_exported(path)
+    for batch in (1, 3, 8):  # symbolic batch dim: one artifact, any B
+        ids = np.arange(batch, dtype=np.int32)
+        s, i = fn(ids)
+        assert s.shape == (batch, 5) and i.shape == (batch, 5)
+        u = TwoTower.user_embed(svc.encoder_params, jnp.asarray(ids),
+                                svc.config.model)
+        s_ref, i_ref = topk_scores(u, svc.index.item_embeddings, 5,
+                                   svc.index.normalize)
+        assert np.allclose(s, np.asarray(s_ref), atol=1e-5)
+        assert (i == np.asarray(i_ref)).all()
+
+
+def test_export_cli(trained_service, tmp_path):
+    from scripts.export import main as export_main
+
+    svc, _ = trained_service
+    out = str(tmp_path / "r.hlo")
+    assert export_main(["--model_dir", svc.model_dir,
+                        "--output", out, "--k", "7"]) == 0
+    import os
+    assert os.path.getsize(out) > 0
