@@ -186,6 +186,10 @@ class TrainConfig:
     # jax_debug_nans: every jitted computation re-runs eagerly on NaN
     # so the faulting primitive is named (SURVEY §5.2)
     debug_nans: bool = False
+    # graceful preemption (SURVEY §5.3): on SIGTERM/SIGUSR1 (the TPU-pod
+    # maintenance warning) finish the running epoch, checkpoint, and
+    # return {"preempted": True, ...}; --resume continues from there
+    checkpoint_on_preemption: bool = True
     # every N epochs, checksum the nominally replicated params on every
     # data-axis device and raise on drift — the TPU-native analogue of
     # race detection (replica desync from a bad collective or RNG leak);

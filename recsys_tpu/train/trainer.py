@@ -617,6 +617,29 @@ class Trainer:
         t_train0 = time.time()
         final_epoch = start_epoch
 
+        # graceful preemption (SURVEY §5.3): TPU-pod maintenance sends
+        # SIGTERM with a grace window — finish the running epoch,
+        # checkpoint, exit cleanly; --resume continues from there
+        preempted = False
+        self._preempt_requested = False
+        prev_sig_handlers = {}
+        if t_cfg.checkpoint_on_preemption:
+            import signal as _signal
+            import threading as _threading
+
+            def _on_preempt_signal(signum, frame):
+                logger.warning(
+                    "signal %d received: checkpointing at epoch end, "
+                    "then stopping (resume with --resume)", signum,
+                )
+                self._preempt_requested = True
+
+            if _threading.current_thread() is _threading.main_thread():
+                for _sig in (_signal.SIGTERM, _signal.SIGUSR1):
+                    prev_sig_handlers[_sig] = _signal.signal(
+                        _sig, _on_preempt_signal
+                    )
+
         for epoch in range(start_epoch, t_cfg.epochs):
             final_epoch = epoch
             self.writer.start_epoch()
@@ -710,6 +733,17 @@ class Trainer:
                 logs["replica_checksum"] = float(sums[0])
 
             entry = self.writer.end_epoch(epoch, logs)
+            if self._preempt_requested:
+                self.ckpt.save(
+                    int(np.asarray(state.step)), state._asdict(),
+                    metrics={"val_loss": logs.get("val_loss", float("nan"))},
+                )
+                preempted = True
+                logger.info(
+                    "preemption checkpoint saved (epoch %d, step %d)",
+                    epoch, int(np.asarray(state.step)),
+                )
+                break
             monitor = t_cfg.early_stop_metric
             sign = -1.0 if "recall" in monitor or "auc" in monitor else 1.0
             value = logs.get(monitor)
@@ -742,14 +776,34 @@ class Trainer:
                             epoch, monitor, sign * best_val)
                 break
 
+        if prev_sig_handlers:
+            import signal as _signal
+
+            for _sig, _h in prev_sig_handlers.items():
+                _signal.signal(_sig, _h)
+
         # restore best weights (EarlyStopping(restore_best_weights=True) parity)
-        if best_params_host is not None:
+        if not preempted and best_params_host is not None:
             state = state._replace(params=jax.device_put(
                 best_params_host,
                 self.state_shardings(jax.eval_shape(lambda s: s, state)).params,
             ))
 
         wall = time.time() - t_train0
+        if preempted:
+            # exit inside the preemption grace window: the latest-step
+            # checkpoint is on disk, --resume picks it up; skip the full
+            # eval + bundle export
+            report = {
+                "preempted": True,
+                "train_wall_time_s": wall,
+                "epochs_run": final_epoch + 1,
+                "resume_step": int(np.asarray(state.step)),
+            }
+            self.writer.write_final_metrics(report)
+            self.writer.close()
+            self.final_state = state
+            return report
         # offline full-metric eval (upgraded _evaluate, src/trainer.py:195-219)
         report = evaluate(
             jax.device_get(state.params), cfg.model, bundle, "val", cfg.eval,

@@ -262,3 +262,45 @@ def test_softmax_temperature_trains(tiny_bundle, tmp_path):
     tr = Trainer(cfg, output_dir=str(tmp_path / "temp"))
     report = tr.train(tiny_bundle)
     assert np.isfinite(report["recall@10"])
+
+
+def test_preemption_checkpoint_and_resume(tiny_bundle, tmp_path):
+    """SIGTERM mid-training -> finish the epoch, checkpoint, return a
+    preempted report; a --resume run continues from that step
+    (SURVEY §5.3 — graceful preemption, absent upstream)."""
+    import os
+    import signal
+
+    out = str(tmp_path / "preempt")
+    cfg = _cfg(epochs=5, log_every_steps=1)
+    tr = Trainer(cfg, output_dir=out)
+
+    # deliver SIGTERM from inside the first epoch (the trainer's
+    # handlers are installed right before the epoch loop, so hooking
+    # start_epoch makes the delivery race-free); the handler defers the
+    # stop to the end of the running epoch
+    orig_start = tr.writer.start_epoch
+    fired = {"n": 0}
+
+    def start_and_signal():
+        fired["n"] += 1
+        if fired["n"] == 1:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_start()
+
+    tr.writer.start_epoch = start_and_signal
+    report = tr.train(tiny_bundle)
+    assert report.get("preempted") is True
+    assert report["epochs_run"] < 5
+    step_at_preempt = report["resume_step"]
+    assert step_at_preempt > 0
+    # handlers restored
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler,
+    ) or callable(signal.getsignal(signal.SIGTERM))
+
+    cfg2 = _cfg(epochs=2, resume=True)
+    tr2 = Trainer(cfg2, output_dir=out)
+    rep2 = tr2.train(tiny_bundle)
+    assert rep2.get("preempted") is None
+    assert int(np.asarray(tr2.final_state.step)) >= step_at_preempt
