@@ -118,6 +118,41 @@ def bench_chip(rows: int, dim: int, batch: int, catalog: int, k: int,
     dt_topk_approx = timed_scan(
         topk_approx_fn, jnp.float32(0), max(reps // 2, 4), q0, items)
 
+    # int8-quantized catalog (4x less HBM; MXU int8 path). The exact
+    # reference for the recall check is computed FIRST, then the f32
+    # table/catalog are freed — int8 serving would not keep them in HBM,
+    # and the 16M-row table + 8M-item catalog + int8 copy together
+    # exhaust a v5e's 16 GB.
+    import numpy as np
+
+    from recsys_tpu.ops.topk import blockwise_topk_int8, quantize_rows
+
+    from recsys_tpu.retrieval.scorer import l2_normalize
+
+    _, i_ex = blockwise_topk(q0[:256], items, k=k, block_size=65536)
+    i_ex = np.asarray(i_ex)
+    # the f32 paths above score cosine (normalize=True): quantize the
+    # L2-normalized rows so the int8 ranking is the same contract
+    iq, isc = jax.jit(lambda x: quantize_rows(l2_normalize(x)))(items)
+    q0 = jax.jit(l2_normalize)(q0)
+    jax.block_until_ready((iq, isc, q0))
+    table.delete()
+    items.delete()
+
+    def topk_int8_fn(c, i, q0, iq, isc):
+        s, idx = blockwise_topk_int8(
+            q0 + i * 1e-9, iq, isc, k, block_size=500_000, approx=True
+        )
+        return c + s[0, 0]
+
+    dt_topk_int8 = timed_scan(
+        topk_int8_fn, jnp.float32(0), max(reps // 2, 4), q0, iq, isc)
+    _, i_i8 = blockwise_topk_int8(q0[:256], iq, isc, k, block_size=500_000)
+    i_i8 = np.asarray(i_i8)
+    int8_recall = float(np.mean(
+        [len(set(i_i8[r]) & set(i_ex[r])) / k for r in range(i_ex.shape[0])]
+    ))
+
     return {
         "mode": "chip",
         "platform": jax.devices()[0].platform,
@@ -137,6 +172,10 @@ def bench_chip(rows: int, dim: int, batch: int, catalog: int, k: int,
         "topk_approx_ms": round(dt_topk_approx * 1e3, 3),
         "topk_approx_item_scores_per_s": round(
             q_batch * catalog / dt_topk_approx, 1),
+        "topk_int8_queries_per_s": round(q_batch / dt_topk_int8, 1),
+        "topk_int8_ms": round(dt_topk_int8 * 1e3, 3),
+        "topk_int8_recall_at_k": round(int8_recall, 4),
+        "catalog_int8_gb": round(catalog * (dim + 4) / 2**30, 2),
     }
 
 

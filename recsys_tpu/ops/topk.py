@@ -162,3 +162,73 @@ def make_ring_topk(ctx: MeshContext, k: int, normalize: bool = True):
             check_vma=False,
         )
     )
+
+
+# ---- int8 quantized scoring ---------------------------------------------
+
+def quantize_rows(emb: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization: ``emb ~ q * scale`` with
+    ``q`` in [-127, 127]. The catalog stored this way costs 4x less HBM
+    than f32 (so one chip holds a 4x larger catalog) and scores on the
+    MXU's int8 path."""
+    absmax = jnp.maximum(jnp.max(jnp.abs(emb), axis=-1, keepdims=True), 1e-12)
+    scale = absmax / 127.0
+    q = jnp.clip(jnp.round(emb / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("k", "block_size", "approx"))
+def blockwise_topk_int8(
+    user_emb: jnp.ndarray,
+    item_q: jnp.ndarray,
+    item_scale: jnp.ndarray,
+    k: int,
+    block_size: int = 65536,
+    approx: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blockwise top-k over an int8-quantized catalog.
+
+    ``item_q`` [N,d] int8 + ``item_scale`` [N] come from
+    :func:`quantize_rows` (quantize AFTER normalizing if cosine scores
+    are wanted — the quantized rows then carry the normalization).
+    Queries are quantized per-row on the fly; each block scores as one
+    int8xint8 -> int32 MXU matmul, rescaled to f32 for the merge.
+    """
+    q_n, d = user_emb.shape
+    n = item_q.shape[0]
+    uq, us = quantize_rows(user_emb)
+    n_blocks = -(-n // block_size)
+    padded = n_blocks * block_size
+    iq = jnp.pad(item_q, ((0, padded - n), (0, 0)))
+    isc = jnp.pad(item_scale, (0, padded - n))
+    blocks = iq.reshape(n_blocks, block_size, d)
+    scales = isc.reshape(n_blocks, block_size)
+    kk = min(k, block_size)
+
+    def step(carry, inp):
+        run_s, run_i = carry
+        block, b_scale, b_idx = inp
+        acc = lax.dot_general(
+            uq, block,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = acc.astype(jnp.float32) * (us[:, None] * b_scale[None, :])
+        gids = b_idx * block_size + jnp.arange(block_size)
+        valid = gids < n
+        scores = jnp.where(valid[None, :], scores, NEG_INF)
+        if approx:
+            b_s, b_i = lax.approx_max_k(scores, kk)
+        else:
+            b_s, b_i = lax.top_k(scores, kk)
+        new_i = jnp.take(jnp.clip(gids, 0, n - 1), b_i)
+        return _merge(run_s, run_i, b_s, new_i, k), None
+
+    init = (
+        jnp.full((q_n, k), NEG_INF),
+        jnp.zeros((q_n, k), jnp.int32),
+    )
+    (top_s, top_i), _ = lax.scan(
+        step, init, (blocks, scales, jnp.arange(n_blocks))
+    )
+    return top_s, top_i

@@ -142,6 +142,7 @@ class RetrievalIndex:
         self.item_raw_ids = np.asarray(item_raw_ids)
         self.normalize = normalize
         self._device_embs = None
+        self._int8 = None  # lazy (q [N,d] int8, scale [N]) on device
 
     @property
     def item_embeddings(self) -> jnp.ndarray:
@@ -167,6 +168,8 @@ class RetrievalIndex:
         k: int,
         approx: bool = False,
         block_size: int = 0,
+        int8: bool = False,
+        refine_factor: int = 1,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """-> (scores [Q,k], dense item ids [Q,k]).
 
@@ -174,7 +177,45 @@ class RetrievalIndex:
         catalog in blocks via :func:`recsys_tpu.ops.topk.blockwise_topk`
         — with ``approx`` the per-block top-k uses the TPU's hardware
         ``approx_max_k`` in bf16 (12× at 8M items, recall@10 0.999); the
-        FAISS-replacement answer for multi-million-item catalogs."""
+        FAISS-replacement answer for multi-million-item catalogs.
+
+        ``int8=True`` scores against a per-row symmetrically quantized
+        catalog (4× less HBM — 4× more items per chip — on the MXU's
+        int8 path; quantized after normalization when cosine).
+        ``refine_factor > 1`` then re-scores the top ``k*refine_factor``
+        int8 candidates exactly in f32 (host-side gather of k' rows per
+        query — the classic quantized-scan + exact-rerank ANN shape)."""
+        if int8:
+            from recsys_tpu.ops.topk import blockwise_topk_int8, quantize_rows
+
+            if self._int8 is None:
+                embs = self.item_embeddings
+                if self.normalize:
+                    embs = l2_normalize(embs)
+                self._int8 = jax.jit(quantize_rows)(embs)
+            u = jnp.asarray(user_emb)
+            if self.normalize:
+                u = l2_normalize(u)
+            k1 = k * max(int(refine_factor), 1)
+            s, i = blockwise_topk_int8(
+                u, self._int8[0], self._int8[1], k1,
+                block_size=block_size or 65536,
+            )
+            if refine_factor <= 1:
+                return np.asarray(s), np.asarray(i)
+            idx = np.asarray(i)
+            cand = self.item_embeddings_np[idx]  # [Q, k', d]
+            u_np = np.asarray(u, np.float32)
+            if self.normalize:
+                cand = cand / np.maximum(
+                    np.linalg.norm(cand, axis=-1, keepdims=True), 1e-12
+                )
+            exact = np.einsum("qd,qcd->qc", u_np, cand)
+            order = np.argsort(-exact, axis=1)[:, :k]
+            return (
+                np.take_along_axis(exact, order, axis=1),
+                np.take_along_axis(idx, order, axis=1),
+            )
         if approx or block_size:
             from recsys_tpu.ops.topk import blockwise_topk
 

@@ -138,3 +138,71 @@ def test_dcn_apply_pallas_flag_matches_xla():
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-2)
+
+
+def test_int8_blockwise_topk_recall():
+    """int8-quantized blockwise top-k: near-exact recall vs the dense
+    f32 scorer, scores within quantization error."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops.topk import blockwise_topk_int8, quantize_rows
+    from recsys_tpu.retrieval.scorer import l2_normalize, topk_scores
+
+    rng = np.random.default_rng(1)
+    n, d, q, k = 5000, 32, 16, 10
+    items = rng.normal(size=(n, d)).astype(np.float32)
+    users = rng.normal(size=(q, d)).astype(np.float32)
+
+    items_n = np.asarray(l2_normalize(jnp.asarray(items)))
+    users_n = np.asarray(l2_normalize(jnp.asarray(users)))
+    iq, isc = quantize_rows(jnp.asarray(items_n))
+    # dequantization error bound: |q*scale - x| <= scale/2 per element
+    assert np.max(np.abs(np.asarray(iq) * np.asarray(isc)[:, None] - items_n)) \
+        <= float(np.max(isc)) / 2 + 1e-6
+
+    s8, i8 = blockwise_topk_int8(
+        jnp.asarray(users_n), iq, isc, k, block_size=1024, approx=False
+    )
+    s_ref, i_ref = topk_scores(jnp.asarray(users), jnp.asarray(items), k)
+    overlap = np.mean([
+        len(set(np.asarray(i8)[r]) & set(np.asarray(i_ref)[r])) / k
+        for r in range(q)
+    ])
+    assert overlap >= 0.9, f"int8 top-{k} overlap {overlap}"
+    assert np.allclose(np.asarray(s8)[:, 0], np.asarray(s_ref)[:, 0], atol=0.02)
+
+
+def test_int8_index_search():
+    """RetrievalIndex.search(int8=True) end-to-end (lazy quantization,
+    normalization carried into the quantized rows)."""
+    from recsys_tpu.retrieval.scorer import RetrievalIndex
+
+    rng = np.random.default_rng(2)
+    idx = RetrievalIndex(
+        rng.normal(size=(3000, 16)).astype(np.float32), np.arange(3000)
+    )
+    u = rng.normal(size=(4, 16)).astype(np.float32)
+    s8, i8 = idx.search(u, 10, int8=True)
+    s, i = idx.search(u, 10)
+    overlap = np.mean([
+        len(set(i8[r]) & set(i[r])) / 10 for r in range(4)
+    ])
+    assert overlap >= 0.9
+    assert s8.shape == (4, 10) and (i8 < 3000).all()
+
+
+def test_int8_refine_recovers_exact_topk():
+    """int8 scan + f32 refine (refine_factor) returns the exact top-k
+    whenever the true top-k survives the candidate pass."""
+    from recsys_tpu.retrieval.scorer import RetrievalIndex
+
+    rng = np.random.default_rng(3)
+    idx = RetrievalIndex(
+        rng.normal(size=(3000, 16)).astype(np.float32), np.arange(3000)
+    )
+    u = rng.normal(size=(8, 16)).astype(np.float32)
+    s_r, i_r = idx.search(u, 10, int8=True, refine_factor=8)
+    s, i = idx.search(u, 10)
+    overlap = np.mean([len(set(i_r[r]) & set(i[r])) / 10 for r in range(8)])
+    assert overlap >= 0.99
+    assert np.allclose(s_r, s, atol=1e-5)
