@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Tuple
 
@@ -47,6 +48,72 @@ def _require(cond: bool, msg: str) -> None:
         raise ValidationError(msg)
 
 
+class Telemetry:
+    """Request counters + latency histograms, exposed in Prometheus
+    text format at ``GET /metrics`` (beyond the reference, which stops
+    at /health + /model/info — SURVEY §5.5)."""
+
+    BUCKETS_S = (0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25,
+                 0.5, 1.0, float("inf"))
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        # (path, code) -> count
+        self._requests: Dict[Tuple[str, int], int] = {}
+        # path -> [bucket counts], sum
+        self._hist: Dict[str, list] = {}
+        self._hist_sum: Dict[str, float] = {}
+
+    def observe(self, path: str, code: int, seconds: float) -> None:
+        with self._lock:
+            key = (path, code)
+            self._requests[key] = self._requests.get(key, 0) + 1
+            h = self._hist.setdefault(path, [0] * len(self.BUCKETS_S))
+            for i, le in enumerate(self.BUCKETS_S):
+                if seconds <= le:
+                    h[i] += 1
+                    break
+            self._hist_sum[path] = self._hist_sum.get(path, 0.0) + seconds
+
+    def render(self, batcher=None) -> str:
+        lines = [
+            "# TYPE recsys_requests_total counter",
+        ]
+        with self._lock:
+            for (path, code), n in sorted(self._requests.items()):
+                lines.append(
+                    f'recsys_requests_total{{path="{path}",code="{code}"}} {n}'
+                )
+            lines.append("# TYPE recsys_request_latency_seconds histogram")
+            for path, h in sorted(self._hist.items()):
+                cum = 0
+                for i, le in enumerate(self.BUCKETS_S):
+                    cum += h[i]
+                    le_s = "+Inf" if le == float("inf") else f"{le:g}"
+                    lines.append(
+                        "recsys_request_latency_seconds_bucket"
+                        f'{{path="{path}",le="{le_s}"}} {cum}'
+                    )
+                lines.append(
+                    f'recsys_request_latency_seconds_count{{path="{path}"}} {cum}'
+                )
+                lines.append(
+                    "recsys_request_latency_seconds_sum"
+                    f'{{path="{path}"}} {self._hist_sum[path]:.6f}'
+                )
+        if batcher is not None:
+            st = batcher.stats()
+            lines += [
+                "# TYPE recsys_microbatch_batches_total counter",
+                f"recsys_microbatch_batches_total {st['n_batches']}",
+                "# TYPE recsys_microbatch_requests_total counter",
+                f"recsys_microbatch_requests_total {st['n_requests']}",
+                "# TYPE recsys_microbatch_max_batch gauge",
+                f"recsys_microbatch_max_batch {st['max_batch_seen']}",
+            ]
+        return "\n".join(lines) + "\n"
+
+
 class Api:
     """Transport-independent endpoint implementations.
 
@@ -58,6 +125,7 @@ class Api:
                  batcher=None):
         self.service = service
         self.batcher = batcher
+        self.telemetry = Telemetry()
 
     # each handler returns (status_code, payload_dict)
     def root(self) -> Tuple[int, Dict]:
@@ -65,8 +133,8 @@ class Api:
             "service": "recsys_tpu recommendation API",
             "version": "1.0.0",
             "endpoints": [
-                "/health", "/model/info", "/recommend", "/recommend/batch",
-                "/score",
+                "/health", "/model/info", "/metrics", "/recommend",
+                "/recommend/batch", "/score",
             ],
         }
 
@@ -189,7 +257,19 @@ def make_http_server(
             self.wfile.write(data)
 
         def do_GET(self):
+            if self.path == "/metrics":
+                data = api.telemetry.render(batcher=api.batcher).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+            t0 = time.perf_counter()
             code, payload = api.dispatch("GET", self.path, None)
+            api.telemetry.observe(self.path, code,
+                                  time.perf_counter() - t0)
             self._respond(code, payload)
 
         def do_POST(self):
@@ -199,7 +279,10 @@ def make_http_server(
                 body = json.loads(raw) if raw else None
             except json.JSONDecodeError:
                 body = None
+            t0 = time.perf_counter()
             code, payload = api.dispatch("POST", self.path, body)
+            api.telemetry.observe(self.path, code,
+                                  time.perf_counter() - t0)
             self._respond(code, payload)
 
         def log_message(self, fmt, *args):  # route to logging, not stderr

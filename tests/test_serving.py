@@ -511,3 +511,25 @@ def test_export_cli(trained_service, tmp_path):
                         "--output", out, "--k", "7"]) == 0
     import os
     assert os.path.getsize(out) > 0
+
+
+def test_metrics_endpoint(live_server):
+    """GET /metrics: Prometheus text exposition with request counters
+    and latency histograms for the endpoints hit so far."""
+    port, bundle = live_server
+    uid = int(bundle["meta/user_raw_ids"][0])
+    _req(port, "POST", "/recommend", {"user_id": uid, "k": 2})
+    _req(port, "GET", "/health")
+
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/metrics")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert 'recsys_requests_total{path="/recommend",code="200"}' in text
+    assert 'recsys_request_latency_seconds_bucket{path="/recommend"' in text
+    assert 'le="+Inf"' in text
+    # counts are cumulative and parseable
+    for line in text.splitlines():
+        if line.startswith("recsys_requests_total"):
+            assert float(line.rsplit(" ", 1)[1]) >= 1
