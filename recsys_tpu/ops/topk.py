@@ -49,6 +49,37 @@ def _merge(run_s, run_i, new_s, new_i, k):
     return top_s, jnp.take_along_axis(i, pos, axis=-1)
 
 
+def _blockwise_scan(score_block, xs, *, n: int, q_n: int, k: int,
+                    block_size: int, approx: bool):
+    """Shared scan-with-running-top-k skeleton: pad-block masking,
+    id clipping, per-block (approx) top-k, exact cross-block merge.
+    ``score_block(*block_inputs) -> [Q, block]``; ``xs`` is the tuple of
+    per-block scan inputs (each leading dim = n_blocks)."""
+    n_blocks = xs[0].shape[0]
+    kk = min(k, block_size)
+
+    def step(carry, inp):
+        run_s, run_i = carry
+        *block_inputs, b_idx = inp
+        scores = score_block(*block_inputs)
+        gids = b_idx * block_size + jnp.arange(block_size)
+        valid = gids < n
+        scores = jnp.where(valid[None, :], scores, NEG_INF)
+        if approx:
+            b_s, b_i = lax.approx_max_k(scores, kk)
+        else:
+            b_s, b_i = lax.top_k(scores, kk)
+        new_i = jnp.take(jnp.clip(gids, 0, n - 1), b_i)
+        return _merge(run_s, run_i, b_s, new_i, k), None
+
+    init = (
+        jnp.full((q_n, k), NEG_INF),
+        jnp.zeros((q_n, k), jnp.int32),
+    )
+    (top_s, top_i), _ = lax.scan(step, init, (*xs, jnp.arange(n_blocks)))
+    return top_s, top_i
+
+
 @partial(jax.jit, static_argnames=("k", "block_size", "normalize", "approx"))
 def blockwise_topk(
     user_emb: jnp.ndarray,
@@ -79,30 +110,15 @@ def blockwise_topk(
         item_emb = item_emb.astype(jnp.bfloat16)
     n_blocks = -(-n // block_size)
     padded = n_blocks * block_size
-    item_pad = jnp.pad(item_emb, ((0, padded - n), (0, 0)))
-    blocks = item_pad.reshape(n_blocks, block_size, d)
-    kk = min(k, block_size)
-
-    def step(carry, inp):
-        run_s, run_i = carry
-        block, b_idx = inp
-        scores = jnp.dot(user_emb, block.T, preferred_element_type=jnp.float32)
-        gids = b_idx * block_size + jnp.arange(block_size)
-        valid = gids < n
-        scores = jnp.where(valid[None, :], scores, NEG_INF)
-        if approx:
-            b_s, b_i = lax.approx_max_k(scores, kk)
-        else:
-            b_s, b_i = lax.top_k(scores, kk)
-        new_i = jnp.take(jnp.clip(gids, 0, n - 1), b_i)
-        return _merge(run_s, run_i, b_s, new_i, k), None
-
-    init = (
-        jnp.full((q, k), NEG_INF),
-        jnp.zeros((q, k), jnp.int32),
+    blocks = jnp.pad(item_emb, ((0, padded - n), (0, 0))).reshape(
+        n_blocks, block_size, d
     )
-    (top_s, top_i), _ = lax.scan(step, init, (blocks, jnp.arange(n_blocks)))
-    return top_s, top_i
+
+    def score(block):
+        return jnp.dot(user_emb, block.T, preferred_element_type=jnp.float32)
+
+    return _blockwise_scan(score, (blocks,), n=n, q_n=q, k=k,
+                           block_size=block_size, approx=approx)
 
 
 def make_ring_topk(ctx: MeshContext, k: int, normalize: bool = True):
@@ -199,36 +215,20 @@ def blockwise_topk_int8(
     uq, us = quantize_rows(user_emb)
     n_blocks = -(-n // block_size)
     padded = n_blocks * block_size
-    iq = jnp.pad(item_q, ((0, padded - n), (0, 0)))
-    isc = jnp.pad(item_scale, (0, padded - n))
-    blocks = iq.reshape(n_blocks, block_size, d)
-    scales = isc.reshape(n_blocks, block_size)
-    kk = min(k, block_size)
+    blocks = jnp.pad(item_q, ((0, padded - n), (0, 0))).reshape(
+        n_blocks, block_size, d
+    )
+    scales = jnp.pad(item_scale, (0, padded - n)).reshape(
+        n_blocks, block_size
+    )
 
-    def step(carry, inp):
-        run_s, run_i = carry
-        block, b_scale, b_idx = inp
+    def score(block, b_scale):
         acc = lax.dot_general(
             uq, block,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        scores = acc.astype(jnp.float32) * (us[:, None] * b_scale[None, :])
-        gids = b_idx * block_size + jnp.arange(block_size)
-        valid = gids < n
-        scores = jnp.where(valid[None, :], scores, NEG_INF)
-        if approx:
-            b_s, b_i = lax.approx_max_k(scores, kk)
-        else:
-            b_s, b_i = lax.top_k(scores, kk)
-        new_i = jnp.take(jnp.clip(gids, 0, n - 1), b_i)
-        return _merge(run_s, run_i, b_s, new_i, k), None
+        return acc.astype(jnp.float32) * (us[:, None] * b_scale[None, :])
 
-    init = (
-        jnp.full((q_n, k), NEG_INF),
-        jnp.zeros((q_n, k), jnp.int32),
-    )
-    (top_s, top_i), _ = lax.scan(
-        step, init, (blocks, scales, jnp.arange(n_blocks))
-    )
-    return top_s, top_i
+    return _blockwise_scan(score, (blocks, scales), n=n, q_n=q_n, k=k,
+                           block_size=block_size, approx=approx)

@@ -181,7 +181,8 @@ class RetrievalIndex:
 
         ``int8=True`` scores against a per-row symmetrically quantized
         catalog (4× less HBM — 4× more items per chip — on the MXU's
-        int8 path; quantized after normalization when cosine).
+        int8 path; quantized after normalization when cosine); ``approx``
+        keeps its usual meaning (per-block ``approx_max_k`` vs exact).
         ``refine_factor > 1`` then re-scores the top ``k*refine_factor``
         int8 candidates exactly in f32 (host-side gather of k' rows per
         query — the classic quantized-scan + exact-rerank ANN shape)."""
@@ -196,10 +197,15 @@ class RetrievalIndex:
             u = jnp.asarray(user_emb)
             if self.normalize:
                 u = l2_normalize(u)
-            k1 = k * max(int(refine_factor), 1)
+            # cap the candidate count at the catalog: past n_items the
+            # scan pads with clipped ids whose placeholder scores the
+            # refine pass would overwrite with REAL scores, surfacing
+            # duplicate items
+            n = self.item_embeddings_np.shape[0]
+            k1 = max(k, min(k * max(int(refine_factor), 1), n))
             s, i = blockwise_topk_int8(
                 u, self._int8[0], self._int8[1], k1,
-                block_size=block_size or 65536,
+                block_size=block_size or 65536, approx=approx,
             )
             if refine_factor <= 1:
                 return np.asarray(s), np.asarray(i)

@@ -55,6 +55,14 @@ class Telemetry:
 
     BUCKETS_S = (0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25,
                  0.5, 1.0, float("inf"))
+    # label cardinality is bounded to the known endpoint set (anything
+    # else aggregates under "other"): client-controlled paths must not
+    # grow the counter map without bound or inject quotes/newlines into
+    # the exposition text
+    KNOWN_PATHS = frozenset({
+        "/", "/health", "/model/info", "/metrics", "/recommend",
+        "/recommend/batch", "/score",
+    })
 
     def __init__(self):
         self._lock = threading.Lock()
@@ -65,6 +73,9 @@ class Telemetry:
         self._hist_sum: Dict[str, float] = {}
 
     def observe(self, path: str, code: int, seconds: float) -> None:
+        path = path.split("?", 1)[0]
+        if path not in self.KNOWN_PATHS:
+            path = "other"
         with self._lock:
             key = (path, code)
             self._requests[key] = self._requests.get(key, 0) + 1

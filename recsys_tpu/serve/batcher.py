@@ -77,6 +77,10 @@ class MicroBatcher:
         with self._cond:
             if self._running:
                 return self
+            if self._thread is not None and self._thread.is_alive():
+                raise RuntimeError(
+                    "previous micro-batcher dispatcher has not exited"
+                )
             self._running = True
         self._thread = threading.Thread(
             target=self._loop, name="microbatcher", daemon=True
@@ -90,7 +94,13 @@ class MicroBatcher:
             self._cond.notify_all()
         if self._thread is not None:
             self._thread.join(timeout=5.0)
-            self._thread = None
+            if self._thread.is_alive():
+                # dispatcher stuck in a backend call: keep the handle so
+                # a later start() can't run two dispatchers at once
+                logger.warning("micro-batcher dispatcher did not exit "
+                               "within 5s; restart refused until it does")
+            else:
+                self._thread = None
         # fail any stragglers rather than hanging their handler threads
         with self._cond:
             while self._queue:
@@ -126,8 +136,10 @@ class MicroBatcher:
         """Block until work exists; then (optionally) linger up to
         ``max_wait_s`` for the batch to grow, and pop <= max_batch."""
         with self._cond:
+            # untimed wait: every producer (recommend) and stop() notify
+            # under this lock, so no polling timeout is needed
             while self._running and not self._queue:
-                self._cond.wait(0.1)
+                self._cond.wait()
             if not self._running:
                 return []
             if self.max_wait_s > 0.0:
@@ -153,9 +165,10 @@ class MicroBatcher:
             self._process(batch)
 
     def _process(self, batch: List[_Pending]) -> None:
-        self.n_batches += 1
-        self.n_requests += len(batch)
-        self.max_seen_batch = max(self.max_seen_batch, len(batch))
+        with self._cond:  # stats are read by /metrics from HTTP threads
+            self.n_batches += 1
+            self.n_requests += len(batch)
+            self.max_seen_batch = max(self.max_seen_batch, len(batch))
         try:
             k_max = max(p.k for p in batch)
             rows = self.service.recommend_batch(
@@ -171,10 +184,11 @@ class MicroBatcher:
                 p.event.set()
 
     def stats(self) -> Dict:
-        n = max(self.n_batches, 1)
-        return {
-            "n_batches": self.n_batches,
-            "n_requests": self.n_requests,
-            "mean_batch": self.n_requests / n,
-            "max_batch_seen": self.max_seen_batch,
-        }
+        with self._cond:
+            n = max(self.n_batches, 1)
+            return {
+                "n_batches": self.n_batches,
+                "n_requests": self.n_requests,
+                "mean_batch": self.n_requests / n,
+                "max_batch_seen": self.max_seen_batch,
+            }

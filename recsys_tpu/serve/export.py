@@ -99,10 +99,13 @@ def load_exported(path: str) -> Callable:
     only the JAX runtime, none of this package's model code."""
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
+    # one jit wrapper for the lifetime of the loaded artifact — built
+    # inside fn it would be recreated (empty executable cache) per call
+    call = jax.jit(exported.call)
 
     def fn(user_dense_ids) -> Tuple[np.ndarray, np.ndarray]:
         ids = jnp.asarray(user_dense_ids, jnp.int32)
-        s, i = jax.jit(exported.call)(ids)
+        s, i = call(ids)
         return np.asarray(s), np.asarray(i)
 
     return fn

@@ -640,147 +640,152 @@ class Trainer:
                         _sig, _on_preempt_signal
                     )
 
-        for epoch in range(start_epoch, t_cfg.epochs):
-            final_epoch = epoch
-            self.writer.start_epoch()
-            t0 = time.time()
-            if device_resident:
-                if sampler is not None:
-                    # fresh explicit negatives each epoch, sampled
-                    # vectorized on host, shipped once per epoch
-                    train_data = {
-                        **train_data,
-                        "neg_ids": jnp.asarray(
-                            sampler.sample_batch(train_cols["user_id"])
-                        ),
-                    }
-                state, tmetrics = train_epoch(
-                    state, train_data, jnp.int32(epoch)
-                )
-                jax.block_until_ready(state.params)
-                n_steps = n_steps_epoch
-                logs = {f"train_{k}": float(v)
-                        for k, v in jax.device_get(tmetrics).items()}
-            else:
-                agg: Dict[str, float] = {}
-                n_steps = 0
-
-                def _prepare(batch):
-                    batch = _augment(batch)
+        try:
+            for epoch in range(start_epoch, t_cfg.epochs):
+                final_epoch = epoch
+                self.writer.start_epoch()
+                t0 = time.time()
+                if device_resident:
                     if sampler is not None:
-                        batch = {**batch, "neg_ids": sampler.sample_batch(batch["user_id"])}
-                    return shard_batch(self.ctx, batch)
+                        # fresh explicit negatives each epoch, sampled
+                        # vectorized on host, shipped once per epoch
+                        train_data = {
+                            **train_data,
+                            "neg_ids": jnp.asarray(
+                                sampler.sample_batch(train_cols["user_id"])
+                            ),
+                        }
+                    state, tmetrics = train_epoch(
+                        state, train_data, jnp.int32(epoch)
+                    )
+                    jax.block_until_ready(state.params)
+                    n_steps = n_steps_epoch
+                    logs = {f"train_{k}": float(v)
+                            for k, v in jax.device_get(tmetrics).items()}
+                else:
+                    agg: Dict[str, float] = {}
+                    n_steps = 0
 
-                for placed in _prefetch(train_batcher.epoch(epoch), _prepare):
-                    state, metrics = train_step(state, placed)
-                    n_steps += 1
-                    if n_steps % t_cfg.log_every_steps == 0 or n_steps == 1:
-                        m = jax.device_get(metrics)
+                    def _prepare(batch):
+                        batch = _augment(batch)
+                        if sampler is not None:
+                            batch = {**batch, "neg_ids": sampler.sample_batch(batch["user_id"])}
+                        return shard_batch(self.ctx, batch)
+
+                    for placed in _prefetch(train_batcher.epoch(epoch), _prepare):
+                        state, metrics = train_step(state, placed)
+                        n_steps += 1
+                        if n_steps % t_cfg.log_every_steps == 0 or n_steps == 1:
+                            m = jax.device_get(metrics)
+                            for k, v in m.items():
+                                agg[k] = agg.get(k, 0.0) + float(v)
+                            agg["_agg_count"] = agg.get("_agg_count", 0) + 1
+                    jax.block_until_ready(state.params)
+                    count = max(agg.pop("_agg_count", 1), 1)
+                    logs = {f"train_{k}": v / count for k, v in agg.items()}
+                if self._profiling:
+                    from jax import profiler as _profiler
+
+                    _profiler.stop_trace()
+                    self._profiling = False
+                    logger.info("profiler trace -> %s/profile", self.output_dir)
+                epoch_time = time.time() - t0
+                steps_total += n_steps
+                examples_total += n_steps * t_cfg.batch_size
+                logs["examples_per_s"] = n_steps * t_cfg.batch_size / max(epoch_time, 1e-9)
+
+                # validation loss (for early stopping, parity with val_loss monitor)
+                if device_resident:
+                    vm = jax.device_get(val_epoch(state.params, val_data))
+                    logs.update({f"val_{k}": float(v) for k, v in vm.items()})
+                else:
+                    v_agg: Dict[str, float] = {}
+                    v_steps = 0
+                    for batch in val_batcher.epoch(0):
+                        placed = shard_batch(self.ctx, _augment(batch))
+                        m = jax.device_get(eval_step(state.params, placed))
                         for k, v in m.items():
-                            agg[k] = agg.get(k, 0.0) + float(v)
-                        agg["_agg_count"] = agg.get("_agg_count", 0) + 1
-                jax.block_until_ready(state.params)
-                count = max(agg.pop("_agg_count", 1), 1)
-                logs = {f"train_{k}": v / count for k, v in agg.items()}
-            if self._profiling:
-                from jax import profiler as _profiler
+                            v_agg[k] = v_agg.get(k, 0.0) + float(v)
+                        v_steps += 1
+                    logs.update({f"val_{k}": v / max(v_steps, 1) for k, v in v_agg.items()})
 
-                _profiler.stop_trace()
-                self._profiling = False
-                logger.info("profiler trace -> %s/profile", self.output_dir)
-            epoch_time = time.time() - t0
-            steps_total += n_steps
-            examples_total += n_steps * t_cfg.batch_size
-            logs["examples_per_s"] = n_steps * t_cfg.batch_size / max(epoch_time, 1e-9)
+                # periodic sampled retrieval eval (recall-based early stopping)
+                if t_cfg.eval_every_epochs and (epoch + 1) % t_cfg.eval_every_epochs == 0:
+                    sample_cfg = dataclasses.replace(
+                        cfg.eval,
+                        eval_sample=cfg.eval.eval_sample or 20_000,
+                        topk=(10,),
+                    )
+                    quick = evaluate(
+                        jax.device_get(state.params), cfg.model, bundle, "val",
+                        sample_cfg, seed=t_cfg.seed,
+                        dense=None if dense_feats is None else dense_feats["val"],
+                    )
+                    logs["val_recall@10"] = quick["recall@10"]
 
-            # validation loss (for early stopping, parity with val_loss monitor)
-            if device_resident:
-                vm = jax.device_get(val_epoch(state.params, val_data))
-                logs.update({f"val_{k}": float(v) for k, v in vm.items()})
-            else:
-                v_agg: Dict[str, float] = {}
-                v_steps = 0
-                for batch in val_batcher.epoch(0):
-                    placed = shard_batch(self.ctx, _augment(batch))
-                    m = jax.device_get(eval_step(state.params, placed))
-                    for k, v in m.items():
-                        v_agg[k] = v_agg.get(k, 0.0) + float(v)
-                    v_steps += 1
-                logs.update({f"val_{k}": v / max(v_steps, 1) for k, v in v_agg.items()})
+                if (t_cfg.replication_check_every_epochs
+                        and (epoch + 1) % t_cfg.replication_check_every_epochs == 0
+                        and self.ctx.n_data > 1):
+                    from recsys_tpu.utils.debug import assert_replicated
 
-            # periodic sampled retrieval eval (recall-based early stopping)
-            if t_cfg.eval_every_epochs and (epoch + 1) % t_cfg.eval_every_epochs == 0:
-                sample_cfg = dataclasses.replace(
-                    cfg.eval,
-                    eval_sample=cfg.eval.eval_sample or 20_000,
-                    topk=(10,),
-                )
-                quick = evaluate(
-                    jax.device_get(state.params), cfg.model, bundle, "val",
-                    sample_cfg, seed=t_cfg.seed,
-                    dense=None if dense_feats is None else dense_feats["val"],
-                )
-                logs["val_recall@10"] = quick["recall@10"]
+                    sums = assert_replicated(
+                        state.params, self.ctx.mesh, self.ctx.data_axis
+                    )
+                    logs["replica_checksum"] = float(sums[0])
 
-            if (t_cfg.replication_check_every_epochs
-                    and (epoch + 1) % t_cfg.replication_check_every_epochs == 0
-                    and self.ctx.n_data > 1):
-                from recsys_tpu.utils.debug import assert_replicated
+                entry = self.writer.end_epoch(epoch, logs)
+                if self._preempt_requested:
+                    self.ckpt.save(
+                        int(np.asarray(state.step)), state._asdict(),
+                        metrics={"val_loss": logs.get("val_loss", float("nan"))},
+                    )
+                    preempted = True
+                    logger.info(
+                        "preemption checkpoint saved (epoch %d, step %d)",
+                        epoch, int(np.asarray(state.step)),
+                    )
+                    break
+                monitor = t_cfg.early_stop_metric
+                sign = -1.0 if "recall" in monitor or "auc" in monitor else 1.0
+                value = logs.get(monitor)
+                if value is None and monitor != "val_loss":
+                    # monitor not computed this epoch (eval_every_epochs
+                    # cadence): do not update best/patience with a
+                    # different-scaled fallback — just checkpoint
+                    self.ckpt.save(
+                        int(np.asarray(state.step)), state._asdict(),
+                        metrics={"val_loss": logs.get("val_loss", float("nan"))},
+                    )
+                    continue
+                if value is None:
+                    value = logs.get("val_loss", float("inf"))
+                score = sign * value  # lower is better
 
-                sums = assert_replicated(
-                    state.params, self.ctx.mesh, self.ctx.data_axis
-                )
-                logs["replica_checksum"] = float(sums[0])
-
-            entry = self.writer.end_epoch(epoch, logs)
-            if self._preempt_requested:
+                is_best = score < best_val
+                if is_best:
+                    best_val = score
+                    best_params_host = jax.device_get(state.params)
+                    patience = 0
+                else:
+                    patience += 1
                 self.ckpt.save(
                     int(np.asarray(state.step)), state._asdict(),
-                    metrics={"val_loss": logs.get("val_loss", float("nan"))},
+                    metrics={monitor: value}, is_best=is_best,
                 )
-                preempted = True
-                logger.info(
-                    "preemption checkpoint saved (epoch %d, step %d)",
-                    epoch, int(np.asarray(state.step)),
-                )
-                break
-            monitor = t_cfg.early_stop_metric
-            sign = -1.0 if "recall" in monitor or "auc" in monitor else 1.0
-            value = logs.get(monitor)
-            if value is None and monitor != "val_loss":
-                # monitor not computed this epoch (eval_every_epochs
-                # cadence): do not update best/patience with a
-                # different-scaled fallback — just checkpoint
-                self.ckpt.save(
-                    int(np.asarray(state.step)), state._asdict(),
-                    metrics={"val_loss": logs.get("val_loss", float("nan"))},
-                )
-                continue
-            if value is None:
-                value = logs.get("val_loss", float("inf"))
-            score = sign * value  # lower is better
+                if patience >= t_cfg.early_stop_patience:
+                    logger.info("early stopping at epoch %d (best %s %.4f)",
+                                epoch, monitor, sign * best_val)
+                    break
 
-            is_best = score < best_val
-            if is_best:
-                best_val = score
-                best_params_host = jax.device_get(state.params)
-                patience = 0
-            else:
-                patience += 1
-            self.ckpt.save(
-                int(np.asarray(state.step)), state._asdict(),
-                metrics={monitor: value}, is_best=is_best,
-            )
-            if patience >= t_cfg.early_stop_patience:
-                logger.info("early stopping at epoch %d (best %s %.4f)",
-                            epoch, monitor, sign * best_val)
-                break
+        finally:
+            # restore handlers even when training raises: leaving
+            # SIGTERM bound to a flag-setter no loop reads would make
+            # the process unkillable-by-TERM for its remaining lifetime
+            if prev_sig_handlers:
+                import signal as _signal
 
-        if prev_sig_handlers:
-            import signal as _signal
-
-            for _sig, _h in prev_sig_handlers.items():
-                _signal.signal(_sig, _h)
+                for _sig, _h in prev_sig_handlers.items():
+                    _signal.signal(_sig, _h)
 
         # restore best weights (EarlyStopping(restore_best_weights=True) parity)
         if not preempted and best_params_host is not None:
