@@ -81,14 +81,27 @@ def topk_scores(
 
 
 def make_sharded_topk(ctx: MeshContext, k: int, normalize: bool = True,
-                      masked: bool = False):
+                      masked: bool = False, int8: bool = False):
     """Sharded scorer: items row-sharded over ``model``, queries
     replicated along it (sharded over ``data``); per-shard top-k then
     cross-shard merge (``collectives.merge_topk``).
 
-    ``masked=True`` takes a third ``[n_items]`` bool argument (sharded
+    ``masked=True`` takes an extra ``[n_items]`` bool argument (sharded
     like the items) and excludes ``False`` rows — how catalog padding to
-    a shard multiple stays invisible to search results."""
+    a shard multiple stays invisible to search results.
+
+    ``int8=True`` (requires ``masked``) scores int8-quantized shards:
+    arguments become ``(user_emb, q_shard int8, scale_shard, mask)``.
+    Quantize the L2-normalized rows when cosine is wanted; queries are
+    quantized on the fly per shard-call. Combines both catalog-scaling
+    axes — n_model shards × 4× rows per chip."""
+
+    def _merge_local(scores, mask_shard, rows):
+        scores = jnp.where(mask_shard[None, :], scores, -jnp.inf)
+        kk = min(k, rows)
+        s, i = jax.lax.top_k(scores, kk)
+        gids = i + coll.axis_index(ctx.model_axis) * rows
+        return coll.merge_topk(s, gids, k, axis=ctx.model_axis)
 
     def score_topk(user_emb, item_shard, mask_shard):
         if normalize:
@@ -97,15 +110,33 @@ def make_sharded_topk(ctx: MeshContext, k: int, normalize: bool = True,
         else:
             u, v = user_emb, item_shard
         scores = jnp.dot(u, v.T, preferred_element_type=jnp.float32)
-        if mask_shard is not None:
-            scores = jnp.where(mask_shard[None, :], scores, -jnp.inf)
-        kk = min(k, item_shard.shape[0])
-        s, i = jax.lax.top_k(scores, kk)
-        gids = i + coll.axis_index(ctx.model_axis) * item_shard.shape[0]
-        return coll.merge_topk(s, gids, k, axis=ctx.model_axis)
+        if mask_shard is None:
+            kk = min(k, item_shard.shape[0])
+            s, i = jax.lax.top_k(scores, kk)
+            gids = i + coll.axis_index(ctx.model_axis) * item_shard.shape[0]
+            return coll.merge_topk(s, gids, k, axis=ctx.model_axis)
+        return _merge_local(scores, mask_shard, item_shard.shape[0])
+
+    def score_topk_int8(user_emb, q_shard, scale_shard, mask_shard):
+        from recsys_tpu.ops.topk import quantize_rows
+
+        u = l2_normalize(user_emb) if normalize else user_emb
+        uq, us = quantize_rows(u)
+        acc = jax.lax.dot_general(
+            uq, q_shard, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = acc.astype(jnp.float32) * (us[:, None] * scale_shard[None, :])
+        return _merge_local(scores, mask_shard, q_shard.shape[0])
 
     item_spec = P(ctx.model_axis, None)
-    if masked:
+    if int8:
+        if not masked:
+            raise ValueError("int8 sharded top-k requires masked=True")
+        body = score_topk_int8
+        in_specs = (P(ctx.data_axis, None), item_spec, P(ctx.model_axis),
+                    P(ctx.model_axis))
+    elif masked:
         body = score_topk
         in_specs = (P(ctx.data_axis, None), item_spec, P(ctx.model_axis))
     else:
@@ -243,9 +274,10 @@ class RetrievalIndex:
         sel = jnp.take(self.item_embeddings, jnp.asarray(item_ids), axis=0)
         return np.asarray(jnp.einsum("qd,nd->qn", user_emb, sel))
 
-    def shard(self, ctx: MeshContext) -> "ShardedIndex":
-        """Place this catalog row-sharded over ``ctx``'s model axis."""
-        return ShardedIndex(self, ctx)
+    def shard(self, ctx: MeshContext, int8: bool = False) -> "ShardedIndex":
+        """Place this catalog row-sharded over ``ctx``'s model axis
+        (optionally int8-quantized: 4× rows per chip)."""
+        return ShardedIndex(self, ctx, int8=int8)
 
     # ---- artifact io ----------------------------------------------
     def save(self, path: str) -> None:
@@ -277,12 +309,18 @@ class ShardedIndex:
     Rows are zero-padded to a shard multiple; a sharded validity mask
     keeps pad rows out of every result. Queries are padded to a
     ``data``-axis multiple and trimmed on return.
+
+    ``int8=True`` stores the shards int8-quantized (per-row symmetric,
+    quantized after normalization when cosine): both catalog-scaling
+    axes compose — ``n_model`` shards × 4× rows per chip.
     """
 
-    def __init__(self, index: RetrievalIndex, ctx: MeshContext):
+    def __init__(self, index: RetrievalIndex, ctx: MeshContext,
+                 int8: bool = False):
         self.ctx = ctx
         self.item_raw_ids = index.item_raw_ids
         self.normalize = index.normalize
+        self.int8 = int8
         embs = index.item_embeddings_np
         n, d = embs.shape
         self.n_items = n
@@ -291,9 +329,27 @@ class ShardedIndex:
         host[:n] = embs
         mask = np.zeros((n_pad,), bool)
         mask[:n] = True
-        self.item_embeddings = jax.device_put(
-            host, ctx.sharding(ctx.model_axis, None)
-        )
+        if int8:
+            if self.normalize:
+                host[:n] = host[:n] / np.maximum(
+                    np.linalg.norm(host[:n], axis=-1, keepdims=True), 1e-12
+                )
+            absmax = np.maximum(np.max(np.abs(host), axis=-1), 1e-12)
+            scale = (absmax / 127.0).astype(np.float32)
+            q = np.clip(
+                np.round(host / scale[:, None]), -127, 127
+            ).astype(np.int8)
+            self.item_q = jax.device_put(
+                q, ctx.sharding(ctx.model_axis, None)
+            )
+            self.item_scale = jax.device_put(
+                scale, ctx.sharding(ctx.model_axis)
+            )
+            self.item_embeddings = None
+        else:
+            self.item_embeddings = jax.device_put(
+                host, ctx.sharding(ctx.model_axis, None)
+            )
         self.item_mask = jax.device_put(mask, ctx.sharding(ctx.model_axis))
         self._fns: Dict[int, object] = {}
 
@@ -309,8 +365,11 @@ class ShardedIndex:
         fn = self._fns.get(k)
         if fn is None:
             fn = self._fns[k] = make_sharded_topk(
-                self.ctx, k, self.normalize, masked=True
+                self.ctx, k, self.normalize, masked=True, int8=self.int8
             )
         ud = jax.device_put(u, self.ctx.sharding(self.ctx.data_axis, None))
-        s, i = fn(ud, self.item_embeddings, self.item_mask)
+        if self.int8:
+            s, i = fn(ud, self.item_q, self.item_scale, self.item_mask)
+        else:
+            s, i = fn(ud, self.item_embeddings, self.item_mask)
         return np.asarray(s)[:q], np.asarray(i)[:q]

@@ -320,7 +320,7 @@ def make_http_server(
 def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
                stub: bool = False, rerank_candidates: int = 0,
                microbatch: int = 0, microbatch_wait_ms: float = 0.0,
-               backend: str = "auto") -> None:
+               backend: str = "auto", int8_catalog: bool = False) -> None:
     service: Optional[RecommendationService] = None
     if stub:
         from recsys_tpu.serve.service import StubRecommendationService
@@ -331,6 +331,7 @@ def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
             service = RecommendationService(
                 model_dir, backend=backend,
                 rerank_candidates=rerank_candidates,
+                int8_catalog=int8_catalog,
             ).load()
         except Exception:
             logger.exception(
@@ -359,6 +360,7 @@ def serve_forever(
     microbatch: int = 0,
     microbatch_wait_ms: float = 0.0,
     backend: str = "auto",
+    int8_catalog: bool = False,
 ) -> None:
     """Load the inference bundle and serve (uvicorn-replacement entry).
     Startup-failure contract parity (``app/main.py:105-119``): if the
@@ -374,7 +376,8 @@ def serve_forever(
         _serve_one(model_dir, host, port, reuse_port=False, stub=stub,
                    rerank_candidates=rerank_candidates,
                    microbatch=microbatch,
-                   microbatch_wait_ms=microbatch_wait_ms, backend=backend)
+                   microbatch_wait_ms=microbatch_wait_ms, backend=backend,
+                   int8_catalog=int8_catalog)
         return
     import os as _os
     import signal as _signal
@@ -387,7 +390,7 @@ def serve_forever(
                        rerank_candidates=rerank_candidates,
                        microbatch=microbatch,
                        microbatch_wait_ms=microbatch_wait_ms,
-                       backend=backend)
+                       backend=backend, int8_catalog=int8_catalog)
             _os._exit(0)
         pids.append(pid)
     logger.info("forked %d serving workers on %s:%d", workers, host, port)

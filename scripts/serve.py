@@ -41,6 +41,9 @@ def main(argv=None) -> int:
                     choices=["auto", "device", "native", "sharded"],
                     help="scoring backend: jitted on-device, mesh-sharded "
                          "catalog (multi-chip), host C++ top-k, or auto")
+    ap.add_argument("--int8_catalog", action="store_true",
+                    help="serve from an int8-quantized catalog (4x less "
+                         "HBM; device backend adds an exact f32 refine)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -53,7 +56,7 @@ def main(argv=None) -> int:
                   rerank_candidates=args.rerank_candidates,
                   microbatch=args.microbatch,
                   microbatch_wait_ms=args.microbatch_wait_ms,
-                  backend=args.backend)
+                  backend=args.backend, int8_catalog=args.int8_catalog)
     return 0
 
 

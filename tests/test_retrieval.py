@@ -120,3 +120,43 @@ def test_sharded_index_matches_dense():
         assert np.allclose(s_sh, np.asarray(s_d), atol=1e-5)
         assert (i_sh == np.asarray(i_d)).all()
         assert (i_sh < 77).all()  # pad rows never surface
+
+
+def test_sharded_index_int8():
+    """ShardedIndex(int8=True): quantized shards + mask on the mesh
+    match the single-device int8 path, and closely match dense f32."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops.topk import blockwise_topk_int8, quantize_rows
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.retrieval.scorer import (
+        RetrievalIndex, l2_normalize, topk_scores,
+    )
+
+    rng = np.random.default_rng(5)
+    idx = RetrievalIndex(
+        rng.normal(size=(77, 32)).astype(np.float32), np.arange(77)
+    )
+    from recsys_tpu.retrieval.scorer import ShardedIndex
+
+    ctx = make_mesh(model_parallel=4)
+    sh8 = ShardedIndex(idx, ctx, int8=True)
+    q = rng.normal(size=(6, 32)).astype(np.float32)
+    s8, i8 = sh8.search(q, 10)
+    assert (i8 < 77).all()
+
+    # reference: single-device int8 over the same normalized rows
+    items_n = l2_normalize(jnp.asarray(idx.item_embeddings_np))
+    iq, isc = quantize_rows(items_n)
+    u_n = l2_normalize(jnp.asarray(q))
+    s_ref, i_ref = blockwise_topk_int8(u_n, iq, isc, 10, block_size=64,
+                                       approx=False)
+    assert np.allclose(s8, np.asarray(s_ref), atol=1e-5)
+    assert (i8 == np.asarray(i_ref)).all()
+
+    # and close to dense f32
+    s_f, i_f = topk_scores(jnp.asarray(q), idx.item_embeddings, 10)
+    overlap = np.mean([
+        len(set(i8[r]) & set(np.asarray(i_f)[r])) / 10 for r in range(6)
+    ])
+    assert overlap >= 0.9

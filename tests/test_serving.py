@@ -533,3 +533,27 @@ def test_metrics_endpoint(live_server):
     for line in text.splitlines():
         if line.startswith("recsys_requests_total"):
             assert float(line.rsplit(" ", 1)[1]) >= 1
+
+
+def test_int8_catalog_serving(trained_service):
+    """int8_catalog=True on the device and sharded backends returns the
+    same recommendations as the f32 service (refined device path is
+    exact; sharded int8 is near-exact on trained embeddings)."""
+    from recsys_tpu.parallel.mesh import make_mesh
+
+    svc, bundle = trained_service
+    uids = [int(u) for u in bundle["meta/user_raw_ids"][:4]]
+
+    dev8 = RecommendationService(
+        svc.model_dir, backend="device", int8_catalog=True
+    ).load()
+    ctx = make_mesh(model_parallel=4, data_parallel=2)
+    sh8 = RecommendationService(
+        svc.model_dir, backend="sharded", mesh_ctx=ctx, int8_catalog=True
+    ).load()
+    for uid in uids:
+        ref = [r["item_id"] for r in svc.recommend(uid, k=5)]
+        got_dev = [r["item_id"] for r in dev8.recommend(uid, k=5)]
+        got_sh = [r["item_id"] for r in sh8.recommend(uid, k=5)]
+        assert got_dev == ref  # refine_factor=4 makes the device path exact
+        assert len(set(got_sh) & set(ref)) >= 4  # raw int8: near-exact
