@@ -99,7 +99,7 @@ def two_stage_eval(trainer, cfg, bundle) -> dict:
 
     return two_stage_evaluate(
         jax.device_get(trainer.final_state.params), cfg.model, bundle,
-        split="val", n_cand=200, ctr_weight=0.5, topk=10,
+        split="val", n_cand=200, ctr_weight=0.25, topk=10,
         engineer=getattr(trainer, "_feature_engineer", None),
     )
 

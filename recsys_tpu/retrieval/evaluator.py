@@ -160,7 +160,7 @@ def two_stage_evaluate(
     bundle: Dict[str, np.ndarray],
     split: str = "val",
     n_cand: int = 200,
-    ctr_weight: float = 0.5,
+    ctr_weight: float = 0.25,
     topk: int = 10,
     max_rows: int = 8192,
     engineer=None,

@@ -53,7 +53,7 @@ class RecommendationService:
     def __init__(self, model_dir: str, backend: str = "auto",
                  approx_search_threshold: int = 1_000_000,
                  rerank_candidates: int = 0,
-                 rerank_ctr_weight: float = 0.5,
+                 rerank_ctr_weight: float = 0.25,
                  mesh_ctx=None,
                  int8_catalog: bool = False):
         if backend not in ("auto", "device", "native", "sharded"):

@@ -48,7 +48,7 @@ def main(argv=None) -> int:
                     help="additionally score the two-stage pipeline: "
                          "retrieve N candidates, rerank with the DCN CTR "
                          "head (0 = skip)")
-    ap.add_argument("--rerank_ctr_weight", type=float, default=0.5)
+    ap.add_argument("--rerank_ctr_weight", type=float, default=0.25)
     ap.add_argument("--output", default=None,
                     help="write the report JSON here (default: print only)")
     ap.add_argument("--seed", type=int, default=42)
