@@ -56,6 +56,14 @@ class ModelConfig:
     rating_weight: float = 0.2
     # bfloat16 compute in towers/DCN (params remain fp32)
     mixed_precision: bool = True
+    # keep the in-batch-softmax [B, B] logits in bfloat16 (reductions
+    # still accumulate f32). The step is HBM-bound on this matrix at
+    # large B: measured on a v5e chip, 1.46x faster at B=16k (5.97 vs
+    # 8.72 ms/step, and faster than the flash-CE Pallas kernel's 7.17)
+    # but slightly SLOWER at B=4096 where the f32 pipeline still fits
+    # the cache-resident fusion. "auto" (default) enables it at
+    # B >= 8192; True/False force it.
+    bf16_retrieval_logits: Any = "auto"
     # residual connection around each tower MLP (out = emb + MLP(emb)).
     # Design divergence from the reference (plain MLP, src/models.py:70-77):
     # lets the id embedding reach the score directly, which materially

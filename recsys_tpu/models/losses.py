@@ -27,6 +27,7 @@ def in_batch_softmax(
     mask: Optional[jnp.ndarray] = None,
     log_q: Optional[jnp.ndarray] = None,
     item_bias: Optional[jnp.ndarray] = None,
+    logits_dtype=None,
 ) -> jnp.ndarray:
     """In-batch sampled-softmax retrieval loss.
 
@@ -67,11 +68,15 @@ def in_batch_softmax(
             if item_bias is not None else None
         )
         diag = jnp.arange(b) + lax.axis_index(axis_name) * b
-    logits = jnp.dot(user_emb, candidates.T, preferred_element_type=jnp.float32)
+    # logits_dtype=bfloat16 halves the HBM traffic of the [B, B] matrix
+    # (the train-step bottleneck at B=4096: the step is memory-bound on
+    # these logits, not MXU-bound); reductions still accumulate in f32
+    acc_t = logits_dtype or jnp.float32
+    logits = jnp.dot(user_emb, candidates.T, preferred_element_type=acc_t)
     if cand_bias is not None:
-        logits = logits + cand_bias[None, :]
+        logits = logits + cand_bias.astype(acc_t)[None, :]
     if cand_logq is not None:
-        logits = logits - cand_logq[None, :]
+        logits = logits - cand_logq.astype(acc_t)[None, :]
     if cand_ids is not None and item_ids is not None:
         # accidental-hit masking without materializing a one-hot label
         # matrix (a [B, B] fp32 one_hot is ~1 GB of HBM traffic at
@@ -95,7 +100,19 @@ def in_batch_softmax(
         pos = pos + item_bias
     if log_q is not None:
         pos = pos - log_q
-    ce = jax.nn.logsumexp(logits, axis=-1) - pos
+    if logits.dtype == jnp.bfloat16:
+        # hand-rolled logsumexp: the subtract/exp read bf16 and fuse
+        # into an f32-accumulating reduction — no f32 [B, B] ever
+        # materializes in HBM
+        m = jnp.max(logits, axis=-1)
+        s = jnp.sum(
+            jnp.exp((logits - m[:, None]).astype(jnp.float32)),
+            axis=-1, dtype=jnp.float32,
+        )
+        lse = jnp.log(s) + m.astype(jnp.float32)
+    else:
+        lse = jax.nn.logsumexp(logits, axis=-1)
+    ce = lse - pos
     if mask is not None:
         return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.mean(ce)

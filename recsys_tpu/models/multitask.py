@@ -145,6 +145,13 @@ class MultiTaskModel:
                 mask=mask,
                 log_q=batch.get("log_q"),
                 item_bias=bias,
+                logits_dtype=(
+                    jnp.bfloat16 if (
+                        cfg.bf16_retrieval_logits is True
+                        or (cfg.bf16_retrieval_logits == "auto"
+                            and u_retr.shape[0] >= 8192)
+                    ) else None
+                ),
             )
         if neg_item_ids is not None:
             neg_emb = TwoTower.item_embed(

@@ -226,3 +226,35 @@ def test_chunked_softmax_matches_dense():
     d2 = losses.in_batch_softmax_chunked(u, v, item_ids=ids, mask=m,
                                          chunk_size=16)
     np.testing.assert_allclose(float(d1), float(d2), rtol=1e-5)
+
+
+def test_in_batch_softmax_bf16_logits_close():
+    """logits_dtype=bfloat16 (the large-batch HBM-traffic optimization)
+    matches the f32 loss and gradients to bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.models.losses import in_batch_softmax
+
+    rng = np.random.default_rng(0)
+    b, d = 256, 32
+    u = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 200, b).astype(np.int32))
+    log_q = jnp.asarray(rng.normal(size=b).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=b).astype(np.float32) * 0.1)
+
+    def loss(dt):
+        return lambda u, v: in_batch_softmax(
+            u, v, item_ids=ids, log_q=log_q, item_bias=bias,
+            logits_dtype=dt,
+        )
+
+    l32, g32 = jax.value_and_grad(loss(None), argnums=(0, 1))(u, v)
+    l16, g16 = jax.value_and_grad(loss(jnp.bfloat16), argnums=(0, 1))(u, v)
+    assert np.isfinite(float(l16))
+    assert abs(float(l32) - float(l16)) < 0.05
+    for a, bgrad in zip(g32, g16):
+        denom = np.maximum(np.abs(np.asarray(a)), 1e-2)
+        rel = np.abs(np.asarray(a) - np.asarray(bgrad)) / denom
+        assert np.median(rel) < 0.1
