@@ -44,22 +44,29 @@ class RecommendationService:
     "sharded" (catalog row-sharded over the ``model`` axis of a device
     mesh, per-shard top-k + cross-shard merge — the multi-chip path for
     catalogs larger than one chip's HBM), "native" (C++ multithreaded
-    exact top-k, the CPU-host fallback in the FAISS role), or "auto"
+    exact top-k, the CPU-host fallback in the FAISS role), "exported"
+    (the AOT ``jax.export`` StableHLO artifact from
+    ``serve/export.py`` — the whole retrieve path runs as one
+    pre-compiled program, no retracing at startup), or "auto"
     (native when no accelerator is present).
 
     ``mesh_ctx``: the mesh for the sharded backend; defaults to all
-    devices on the ``model`` axis."""
+    devices on the ``model`` axis.
+    ``exported_path``: artifact for the exported backend; defaults to
+    ``<model_dir>/retrieve.hlo``."""
 
     def __init__(self, model_dir: str, backend: str = "auto",
                  approx_search_threshold: int = 1_000_000,
                  rerank_candidates: int = 0,
                  rerank_ctr_weight: float = 0.25,
                  mesh_ctx=None,
-                 int8_catalog: bool = False):
-        if backend not in ("auto", "device", "native", "sharded"):
+                 int8_catalog: bool = False,
+                 exported_path: Optional[str] = None):
+        if backend not in ("auto", "device", "native", "sharded", "exported"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.mesh_ctx = mesh_ctx
+        self.exported_path = exported_path
         # int8-quantized catalog: 4x less HBM (device backend adds an
         # exact f32 refine of the candidate set; effectively lossless on
         # trained embeddings — top-10 agreement 0.9953 raw / 1.0 refined)
@@ -133,6 +140,19 @@ class RecommendationService:
             self._sharded = self.index.shard(
                 self.mesh_ctx, int8=self.int8_catalog
             )
+        if self.backend == "exported":
+            from recsys_tpu.serve.export import load_exported
+
+            path = self.exported_path or os.path.join(d, "retrieve.hlo")
+            with open(path + ".json") as f:
+                self._exported_k = int(json.load(f)["k"])
+            self._exported_fn = load_exported(path)
+            if self.rerank_candidates > self._exported_k:
+                raise ValueError(
+                    f"rerank_candidates={self.rerank_candidates} exceeds "
+                    f"the artifact's exported top-k ({self._exported_k}); "
+                    f"re-export with a larger --k"
+                )
         self._popular = [int(r) for r in self.index.item_raw_ids[:200]]
         self._ready = True
         logger.info(
@@ -193,6 +213,22 @@ class RecommendationService:
                 and n_index_rows > self.approx_search_threshold):
             return self.index.search(u_emb, k, approx=True)
         return self.index.search(u_emb, k)
+
+    def _retrieve(self, dense_ids, k: int):
+        """dense user ids -> (scores[Q,k], catalog row idx[Q,k]).
+        The exported backend runs the whole path (tower -> normalize ->
+        matmul -> top-k) inside one pre-compiled StableHLO program; the
+        others go embed-then-search."""
+        ids = np.atleast_1d(np.asarray(dense_ids))
+        if self._resolved_backend() == "exported":
+            if k > self._exported_k:
+                raise ValueError(
+                    f"k={k} exceeds the artifact's exported top-k "
+                    f"({self._exported_k}); re-export with a larger --k"
+                )
+            scores, idx = self._exported_fn(ids)
+            return scores[:, :k], idx[:, :k]
+        return self._search(self._user_embedding(ids), k)
 
     def _rerank_active(self) -> bool:
         return self.rerank_candidates > 0 and self.model_params is not None
@@ -304,13 +340,12 @@ class RecommendationService:
         dense = self.user_id_map.get(int(user_id))
         if dense is None:
             return self._popular_items(k)
-        u = self._user_embedding(dense)
         if self._rerank_active():
             c = max(self.rerank_candidates, k)
-            scores, ids = self._search(u, c)
+            scores, ids = self._retrieve([dense], c)
             scores, ids = self._rerank([dense], scores, ids, k)
         else:
-            scores, ids = self._search(u, k)
+            scores, ids = self._retrieve([dense], k)
         return [
             {
                 "item_id": int(self.index.item_raw_ids[i]),
@@ -335,13 +370,12 @@ class RecommendationService:
         ]
         if known:
             known_dense = np.array([dense[i] for i in known])
-            u_emb = self._user_embedding(known_dense)
             if self._rerank_active():
                 c = max(self.rerank_candidates, k)
-                scores, top = self._search(u_emb, c)
+                scores, top = self._retrieve(known_dense, c)
                 scores, top = self._rerank(known_dense, scores, top, k)
             else:
-                scores, top = self._search(u_emb, k)
+                scores, top = self._retrieve(known_dense, k)
             for row, i in enumerate(known):
                 out[i] = {
                     "user_id": int(user_ids[i]),
@@ -401,7 +435,7 @@ class RecommendationService:
             "n_users": len(self.user_id_map),
             "n_items": len(self.item_id_map),
             "embedding_dim": self.config.model.embedding_dim if self.config else None,
-            "backend": "recsys_tpu jitted scorer",
+            "backend": f"recsys_tpu {self._resolved_backend()} scorer",
             "ready": self._ready,
         }
 

@@ -38,9 +38,12 @@ def main(argv=None) -> int:
                     help="hold the first request of a micro-batch this long "
                          "to let the batch grow (0 = drain-what's-there)")
     ap.add_argument("--backend", default="auto",
-                    choices=["auto", "device", "native", "sharded"],
+                    choices=["auto", "device", "native", "sharded",
+                             "exported"],
                     help="scoring backend: jitted on-device, mesh-sharded "
-                         "catalog (multi-chip), host C++ top-k, or auto")
+                         "catalog (multi-chip), host C++ top-k, the AOT "
+                         "jax.export artifact (<model_dir>/retrieve.hlo), "
+                         "or auto")
     ap.add_argument("--int8_catalog", action="store_true",
                     help="serve from an int8-quantized catalog (4x less "
                          "HBM; device backend adds an exact f32 refine)")

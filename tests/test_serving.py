@@ -502,6 +502,40 @@ def test_aot_export_roundtrip(trained_service, tmp_path):
         assert (i == np.asarray(i_ref)).all()
 
 
+def test_exported_backend_serving(trained_service, tmp_path):
+    """backend="exported": the service answers straight from the AOT
+    StableHLO artifact — results identical to the device backend."""
+    from recsys_tpu.serve.export import export_retrieve
+    from recsys_tpu.serve.service import RecommendationService
+
+    svc, bundle = trained_service
+    path = str(tmp_path / "retrieve.hlo")
+    export_retrieve(svc.model_dir, path, k=8)
+    exp = RecommendationService(
+        svc.model_dir, backend="exported", exported_path=path
+    ).load()
+    for uid in [int(u) for u in bundle["meta/user_raw_ids"][:4]]:
+        a = svc.recommend(uid, k=5)
+        b = exp.recommend(uid, k=5)
+        assert [r["item_id"] for r in a] == [r["item_id"] for r in b]
+        assert np.allclose([r["score"] for r in a],
+                           [r["score"] for r in b], atol=1e-5)
+    # batch + cold start flow through the artifact too
+    uids = [int(u) for u in bundle["meta/user_raw_ids"][:3]] + [99999]
+    rows = exp.recommend_batch(uids, k=8)
+    assert rows[-1]["status"] == "cold_start"
+    assert all(len(r["recommendations"]) == 8 for r in rows)
+    # k is fixed at export time: asking past it is an explicit error
+    with pytest.raises(ValueError, match="exported top-k"):
+        exp.recommend(uids[0], k=9)
+    # ... and so is a rerank depth the artifact can't supply
+    with pytest.raises(ValueError, match="exported top-k"):
+        RecommendationService(svc.model_dir, backend="exported",
+                              exported_path=path,
+                              rerank_candidates=50).load()
+    assert "exported" in exp.get_model_info()["backend"]
+
+
 def test_export_cli(trained_service, tmp_path):
     from scripts.export import main as export_main
 
