@@ -10,9 +10,11 @@ Feature groups (reference citations per group):
   days since first/last activity, item age, recent (90d)
   popularity, popularity trend                          — ``:132-168``
 * interaction: rating consistency 1/(1+std), polarization,
-  log-popularity match                                  — ``:171-186``
+  log-popularity match |log1p(u_cnt) - log1p(i_cnt)|    — ``:171-186``
 * user genre preference: rating-weighted genre vector per
   user (train-only cache) . item genre multi-hot        — ``:189-240``
+* external user/item side-feature merge (dense-id join,
+  the pandas-merge capability of ``:243-258``)          — ``:243-258``
 * standardization: fit on train, transform on eval      — ``:261-273``
 * NaN/inf -> 0                                          — ``:279``
 
@@ -81,12 +83,43 @@ class FeatureEngineer:
     """fit(train columns) -> transform(any split columns) -> feature
     matrix [N, F] + names."""
 
+    #: bump when the emitted feature columns change (serving-side
+    #: ``from_state`` refuses a mismatched version instead of silently
+    #: computing different features than the model trained on). v2:
+    #: log_pop_match corrected to the reference's
+    #: |log1p(user_count) - log1p(item_count)| semantics
+    #: (``src/data_processing.py:180-184``) + external side tables.
+    STATE_VERSION = 2
+
     def __init__(self, n_users: int, n_items: int,
                  item_genres: Optional[np.ndarray] = None,
-                 standardize: bool = True, clip_std: float = 10.0):
+                 standardize: bool = True, clip_std: float = 10.0,
+                 user_side: Optional[np.ndarray] = None,
+                 item_side: Optional[np.ndarray] = None,
+                 user_side_names: Optional[List[str]] = None,
+                 item_side_names: Optional[List[str]] = None):
         self.n_users = n_users
         self.n_items = n_items
         self.item_genres = item_genres  # [n_items, G] multi-hot
+        # external side tables (src/data_processing.py:243-258): the
+        # reference left-joins optional user/item feature DataFrames on
+        # the id column; here the join is a dense-id row gather from a
+        # [n_users, Fu] / [n_items, Fi] array (ids are already remapped
+        # to dense ints in preprocessing, so merge == indexing).
+        self.user_side = None if user_side is None else np.asarray(user_side, np.float64)
+        self.item_side = None if item_side is None else np.asarray(item_side, np.float64)
+        if self.user_side is not None and self.user_side.shape[0] != n_users:
+            raise ValueError(
+                f"user_side has {self.user_side.shape[0]} rows, expected {n_users}")
+        if self.item_side is not None and self.item_side.shape[0] != n_items:
+            raise ValueError(
+                f"item_side has {self.item_side.shape[0]} rows, expected {n_items}")
+        self.user_side_names = list(user_side_names) if user_side_names else (
+            [f"user_ext_{j}" for j in range(self.user_side.shape[1])]
+            if self.user_side is not None else [])
+        self.item_side_names = list(item_side_names) if item_side_names else (
+            [f"item_ext_{j}" for j in range(self.item_side.shape[1])]
+            if self.item_side is not None else [])
         self.standardize = standardize
         # post-standardization clip (in train-σ units). Temporal holdout
         # splits extrapolate: days-since-last-activity / item-age on val
@@ -97,10 +130,11 @@ class FeatureEngineer:
         self.fitted = False
 
     @staticmethod
-    def n_features(with_genres: bool = True) -> int:
+    def n_features(with_genres: bool = True, n_user_side: int = 0,
+                   n_item_side: int = 0) -> int:
         """Width of the feature matrix this engineer emits — the value
         to put in ``ModelConfig.dense_features``."""
-        return 29 if with_genres else 28
+        return (29 if with_genres else 28) + n_user_side + n_item_side
 
     # ---- fit on train ----------------------------------------------
     def fit(self, uid: np.ndarray, mid: np.ndarray, rating: np.ndarray,
@@ -157,12 +191,13 @@ class FeatureEngineer:
         ]
         if self.user_genre_prefs is not None:
             names.append("user_genre_match")
+        names.extend(self.user_side_names)
+        names.extend(self.item_side_names)
         return names
 
     def transform(self, uid: np.ndarray, mid: np.ndarray,
                   ts: np.ndarray) -> np.ndarray:
         assert self.fitted, "call fit() first"
-        dt_days = (ts - ts.astype("float64") % SECONDS_PER_DAY)  # noqa: unused helper
         hour = (ts % SECONDS_PER_DAY) / 3600.0
         dow = ((ts // SECONDS_PER_DAY) + 4) % 7  # epoch day 0 = Thursday
         cols = {}
@@ -198,16 +233,24 @@ class FeatureEngineer:
 
         cols["rating_consistency"] = 1.0 / (1.0 + self.u_std[u])
         cols["user_polarization"] = np.abs(self.u_mean[u] - 3.0)
-        # log-popularity match: does this user tend to rate items of this
-        # popularity tier? (src/data_processing.py:171-186 flavor)
-        log_pop = np.log1p(self.i_cnt)
-        u_avg_logpop = np.zeros(self.n_users)
-        cols["log_pop_match"] = log_pop[i] - np.log1p(np.median(self.i_cnt))
+        # user-item popularity match (src/data_processing.py:180-184):
+        # |log1p(user_rating_count) - log1p(item_rating_count)| — small
+        # when a user's activity level matches the item's popularity tier
+        cols["log_pop_match"] = np.abs(
+            np.log1p(self.u_cnt[u]) - np.log1p(self.i_cnt[i])
+        )
 
         if self.user_genre_prefs is not None:
             cols["user_genre_match"] = np.einsum(
                 "ng,ng->n", self.user_genre_prefs[u], self.item_genres[i]
             )
+
+        # external side features: dense-id gather (the merge of
+        # src/data_processing.py:243-258)
+        for j, name in enumerate(self.user_side_names):
+            cols[name] = self.user_side[u, j]
+        for j, name in enumerate(self.item_side_names):
+            cols[name] = self.item_side[i, j]
 
         mat = np.stack([cols[n] for n in self.feature_names()], axis=1)
         mat = np.nan_to_num(mat, nan=0.0, posinf=0.0, neginf=0.0)
@@ -266,6 +309,7 @@ class FeatureEngineer:
         state: Dict[str, np.ndarray] = {
             k: np.asarray(getattr(self, k)) for k in self._STATE_KEYS
         }
+        state["version"] = np.int64(self.STATE_VERSION)
         state["t_ref"] = np.float64(self.t_ref)
         state["clip_std"] = np.float64(self.clip_std)
         state["meta"] = np.array(
@@ -274,6 +318,12 @@ class FeatureEngineer:
         if self.item_genres is not None:
             state["item_genres"] = np.asarray(self.item_genres)
             state["user_genre_prefs"] = np.asarray(self.user_genre_prefs)
+        if self.user_side is not None:
+            state["user_side"] = np.asarray(self.user_side)
+            state["user_side_names"] = np.array(self.user_side_names)
+        if self.item_side is not None:
+            state["item_side"] = np.asarray(self.item_side)
+            state["item_side_names"] = np.array(self.item_side_names)
         if self.standardize and hasattr(self, "scaler"):
             state["scaler_mean"] = np.asarray(self.scaler.mean_)
             state["scaler_scale"] = np.asarray(self.scaler.scale_)
@@ -281,12 +331,29 @@ class FeatureEngineer:
 
     @classmethod
     def from_state(cls, state: Dict[str, np.ndarray]) -> "FeatureEngineer":
+        version = int(state["version"]) if "version" in state else 1
+        if version != cls.STATE_VERSION:
+            raise ValueError(
+                f"feature state version {version} != code version "
+                f"{cls.STATE_VERSION}: the bundle's features were computed "
+                "by a different feature pipeline — retrain or re-export "
+                "(serving with mismatched features silently skews the "
+                "ranking heads)"
+            )
         n_users, n_items, standardize = (int(v) for v in state["meta"])
         eng = cls(
             n_users, n_items,
             item_genres=(state["item_genres"] if "item_genres" in state else None),
             standardize=bool(standardize),
             clip_std=float(state["clip_std"]) if "clip_std" in state else 10.0,
+            user_side=state["user_side"] if "user_side" in state else None,
+            item_side=state["item_side"] if "item_side" in state else None,
+            user_side_names=(
+                [str(s) for s in state["user_side_names"]]
+                if "user_side_names" in state else None),
+            item_side_names=(
+                [str(s) for s in state["item_side_names"]]
+                if "item_side_names" in state else None),
         )
         for k in cls._STATE_KEYS:
             setattr(eng, k, np.asarray(state[k]))
@@ -301,3 +368,59 @@ class FeatureEngineer:
             eng.scaler.scale_ = np.asarray(state["scaler_scale"])
         eng.fitted = True
         return eng
+
+
+def side_tables_from_bundle(bundle: Dict[str, np.ndarray]):
+    """Build the MovieLens external side tables from the preprocessed
+    bundle's demographic/metadata columns — the concrete instance of the
+    reference's user_features/item_features merge inputs
+    (``src/data_processing.py:243-258``; the raw columns come from
+    ``users.dat``/``movies.dat``, ``src/preprocessing.py:49-64``).
+
+    Returns ``(user_side [nU, 3], item_side [nI, 1], user_names,
+    item_names)`` or ``(None, None, [], [])`` when the bundle lacks the
+    demographic columns (synthetic bundles without them)."""
+    needed = ("meta/user_gender", "meta/user_age", "meta/user_occupation",
+              "meta/movie_year_norm")
+    if not all(k in bundle for k in needed):
+        return None, None, [], []
+    user_side = np.stack(
+        [np.asarray(bundle["meta/user_gender"], np.float64),
+         np.asarray(bundle["meta/user_age"], np.float64),
+         np.asarray(bundle["meta/user_occupation"], np.float64)], axis=1)
+    item_side = np.asarray(bundle["meta/movie_year_norm"], np.float64)[:, None]
+    return (user_side, item_side,
+            ["user_gender", "user_age", "user_occupation"],
+            ["item_year_norm"])
+
+
+def make_engineer(bundle: Dict[str, np.ndarray], n_dense: int,
+                  standardize: bool = True,
+                  clip_std: float = 10.0) -> "FeatureEngineer":
+    """Construct a FeatureEngineer whose emitted width matches
+    ``n_dense`` (= ``ModelConfig.dense_features``), deciding from the
+    width whether external side tables are included. Raises when no
+    construction matches — a loud failure instead of silently feeding a
+    model features it was not trained on. The single construction point
+    for trainer/evaluator/CLI fallbacks."""
+    genres = bundle["meta/movie_genres"] if "meta/movie_genres" in bundle else None
+    base = FeatureEngineer.n_features(with_genres=genres is not None)
+    if n_dense == base:
+        return FeatureEngineer(
+            int(bundle["meta/n_users"]), int(bundle["meta/n_movies"]),
+            item_genres=genres, standardize=standardize, clip_std=clip_std)
+    u_side, i_side, u_names, i_names = side_tables_from_bundle(bundle)
+    if u_side is not None:
+        with_side = FeatureEngineer.n_features(
+            with_genres=genres is not None,
+            n_user_side=u_side.shape[1], n_item_side=i_side.shape[1])
+        if n_dense == with_side:
+            return FeatureEngineer(
+                int(bundle["meta/n_users"]), int(bundle["meta/n_movies"]),
+                item_genres=genres, standardize=standardize,
+                clip_std=clip_std, user_side=u_side, item_side=i_side,
+                user_side_names=u_names, item_side_names=i_names)
+    raise ValueError(
+        f"dense_features={n_dense} matches no FeatureEngineer layout for "
+        f"this bundle (base width {base}); was the model trained with a "
+        "different feature pipeline?")

@@ -73,12 +73,11 @@ def evaluate(
     n_items = int(bundle["meta/n_movies"])
 
     if cfg.dense_features > 0 and dense is None:
-        from recsys_tpu.data.features import FeatureEngineer
+        # width-checked construction (raises on mismatch rather than
+        # silently re-fitting with different settings than training)
+        from recsys_tpu.data.features import make_engineer
 
-        eng = FeatureEngineer(
-            int(bundle["meta/n_users"]), n_items,
-            item_genres=bundle.get("meta/movie_genres"),
-        )
+        eng = make_engineer(bundle, cfg.dense_features)
         dense = eng.fit_transform_splits(bundle)[split]
 
     if eval_cfg.eval_sample and len(uid) > eval_cfg.eval_sample:
@@ -187,11 +186,9 @@ def two_stage_evaluate(
     ts = bundle[f"{split}/timestamp"][:max_rows].astype(np.float64)
 
     if cfg.dense_features > 0 and engineer is None:
-        from recsys_tpu.data.features import FeatureEngineer
+        from recsys_tpu.data.features import make_engineer
 
-        engineer = FeatureEngineer(
-            n_users, n_items, item_genres=bundle.get("meta/movie_genres")
-        )
+        engineer = make_engineer(bundle, cfg.dense_features)
         engineer.fit_transform_splits(bundle)  # fits stats + train scaler
 
     item_embs = materialize_item_embeddings(params["towers"], cfg, n_items)

@@ -126,7 +126,19 @@ class MicroBatcher:
             self._queue.append(p)
             self._cond.notify_all()
         if not p.event.wait(self.timeout_s):
-            raise TimeoutError("micro-batch dispatch timed out")
+            # withdraw the request so an abandoned entry does not later
+            # consume a recommend_batch slot during a sustained backend
+            # stall (and skew the batch-size stats)
+            with self._cond:
+                try:
+                    self._queue.remove(p)
+                    abandoned = True
+                except ValueError:
+                    # already dequeued: either completed between the wait
+                    # expiry and this lock, or in flight in the backend
+                    abandoned = not p.event.is_set()
+            if abandoned:
+                raise TimeoutError("micro-batch dispatch timed out")
         if p.exc is not None:
             raise p.exc
         return p.result

@@ -464,20 +464,10 @@ class Trainer:
         dense_feats = None
         self._feature_engineer = None
         if cfg.model.dense_features > 0:
-            from recsys_tpu.data.features import FeatureEngineer
+            from recsys_tpu.data.features import make_engineer
 
-            eng = FeatureEngineer(
-                n_users, n_items,
-                item_genres=bundle.get("meta/movie_genres"),
-            )
+            eng = make_engineer(bundle, cfg.model.dense_features)
             dense_feats = eng.fit_transform_splits(bundle)
-            got = dense_feats["train"].shape[1]
-            if got != cfg.model.dense_features:
-                raise ValueError(
-                    f"ModelConfig.dense_features={cfg.model.dense_features} "
-                    f"but FeatureEngineer emits {got} columns "
-                    "(use FeatureEngineer.n_features())"
-                )
             self._feature_engineer = eng
 
         # logQ correction array: log empirical train frequency per item

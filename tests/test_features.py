@@ -4,7 +4,10 @@ freedom, genre-preference semantics, scaler parity."""
 import numpy as np
 import pytest
 
-from recsys_tpu.data.features import FeatureEngineer, StandardScaler, _group_stats
+from recsys_tpu.data.features import (
+    FeatureEngineer, StandardScaler, _group_stats, make_engineer,
+    side_tables_from_bundle,
+)
 
 
 def test_group_stats_golden():
@@ -80,3 +83,81 @@ def test_genre_preference_semantics():
     f1_g1 = fe.transform(np.array([1]), np.array([3]), np.array([1e9]))
     f1_g0 = fe.transform(np.array([1]), np.array([0]), np.array([1e9]))
     assert f1_g1[0, gi] > f1_g0[0, gi]
+
+
+def test_log_pop_match_reference_semantics():
+    """user_popularity_match = |log1p(user_count) - log1p(item_count)|
+    (reference src/data_processing.py:180-184)."""
+    uid = np.array([0, 0, 0, 1])
+    mid = np.array([0, 1, 2, 0])
+    rating = np.array([4.0, 3.0, 5.0, 2.0])
+    ts = np.linspace(1e9, 1e9 + 1e6, 4)
+    fe = FeatureEngineer(2, 3, standardize=False).fit(uid, mid, rating, ts)
+    f = fe.transform(np.array([0, 1]), np.array([0, 1]), np.array([1e9, 1e9]))
+    pi = fe.feature_names().index("log_pop_match")
+    # user 0 has 3 ratings, item 0 has 2 -> |log1p(3) - log1p(2)|
+    np.testing.assert_allclose(f[0, pi], abs(np.log1p(3) - np.log1p(2)), rtol=1e-6)
+    # user 1 has 1 rating, item 1 has 1 -> 0
+    np.testing.assert_allclose(f[1, pi], 0.0, atol=1e-12)
+
+
+def test_external_side_tables_change_n_features(tiny_bundle):
+    """C5 external-feature merge (src/data_processing.py:243-258): side
+    tables appear as named columns, widen the matrix, and round-trip
+    through state_dict/from_state."""
+    n_users = int(tiny_bundle["meta/n_users"])
+    n_items = int(tiny_bundle["meta/n_movies"])
+    rng = np.random.default_rng(0)
+    user_side = rng.normal(size=(n_users, 2))
+    item_side = rng.normal(size=(n_items, 1))
+    fe = FeatureEngineer(
+        n_users, n_items, item_genres=tiny_bundle["meta/movie_genres"],
+        user_side=user_side, item_side=item_side,
+        user_side_names=["u_a", "u_b"], item_side_names=["i_a"],
+    )
+    base = FeatureEngineer.n_features(with_genres=True)
+    assert FeatureEngineer.n_features(True, 2, 1) == base + 3
+    feats = fe.fit_transform_splits(tiny_bundle)
+    assert feats["train"].shape[1] == base + 3
+    names = fe.feature_names()
+    assert names[-3:] == ["u_a", "u_b", "i_a"]
+    # the side column is the id-gathered table value (pre-standardize)
+    fe_raw = FeatureEngineer(
+        n_users, n_items, standardize=False,
+        user_side=user_side, item_side=item_side,
+    ).fit(tiny_bundle["train/user_id"], tiny_bundle["train/movie_id"],
+          tiny_bundle["train/rating"],
+          tiny_bundle["train/timestamp"].astype(np.float64))
+    u = tiny_bundle["val/user_id"][:5]
+    m = tiny_bundle["val/movie_id"][:5]
+    f = fe_raw.transform(u, m, tiny_bundle["val/timestamp"][:5].astype(np.float64))
+    ui = fe_raw.feature_names().index("user_ext_0")
+    np.testing.assert_allclose(f[:, ui], user_side[u, 0], rtol=1e-6)
+    # state round-trip keeps the side tables
+    fe2 = FeatureEngineer.from_state(fe.state_dict())
+    f_a = fe.transform_scaled(u, m, tiny_bundle["val/timestamp"][:5].astype(np.float64))
+    f_b = fe2.transform_scaled(u, m, tiny_bundle["val/timestamp"][:5].astype(np.float64))
+    np.testing.assert_allclose(f_a, f_b, atol=1e-7)
+
+
+def test_state_version_mismatch_raises(tiny_bundle):
+    fe = FeatureEngineer(int(tiny_bundle["meta/n_users"]),
+                         int(tiny_bundle["meta/n_movies"]))
+    fe.fit_transform_splits(tiny_bundle)
+    state = fe.state_dict()
+    state["version"] = np.int64(1)
+    with pytest.raises(ValueError, match="version"):
+        FeatureEngineer.from_state(state)
+
+
+def test_make_engineer_width_check(tiny_bundle):
+    base = FeatureEngineer.n_features(with_genres=True)
+    eng = make_engineer(tiny_bundle, base)
+    assert eng.user_side is None
+    u_side, i_side, _, _ = side_tables_from_bundle(tiny_bundle)
+    if u_side is not None:
+        wide = FeatureEngineer.n_features(True, u_side.shape[1], i_side.shape[1])
+        eng2 = make_engineer(tiny_bundle, wide)
+        assert eng2.user_side is not None
+    with pytest.raises(ValueError, match="dense_features"):
+        make_engineer(tiny_bundle, base + 1000)
