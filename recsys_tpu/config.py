@@ -135,7 +135,13 @@ class TrainConfig:
 
     batch_size: int = 2048
     learning_rate: float = 1e-3
-    learning_rate_ranking: float = 1e-4
+    # Separate LR for the ranking stack (DCN + rating/CTR heads); the
+    # retrieval side (tables/towers) keeps learning_rate. The reference
+    # declares this split (src/config.py:28-29) but compiles ONE
+    # optimizer and never uses it — so the default here is None (single
+    # LR, the behavior the reference actually ran); set e.g. 1e-4 to
+    # activate the split (optimizer.ranking_lr_scale).
+    learning_rate_ranking: Optional[float] = None
     epochs: int = 20
     warmup_steps: int = 0
     # ExponentialDecay(lr, decay_steps=1000, rate=0.96, staircase) parity
@@ -154,7 +160,9 @@ class TrainConfig:
     # run a sampled retrieval eval every N epochs (0 = only at the end);
     # required when early_stop_metric is recall-based
     eval_every_epochs: int = 0
-    shuffle_buffer: int = 50_000  # reference shuffles with this buffer; we do a full permutation per epoch
+    # (the reference's tf.data shuffle(50000) buffer has no analogue
+    # here: both data paths do a FULL permutation per epoch — strictly
+    # better shuffling — so no buffer-size knob exists)
     seed: int = 42
     use_class_weights: bool = True  # balanced CTR class weights (src/trainer.py:139-146)
     # logQ sampling-bias correction for in-batch softmax (Yi et al. 2019;
@@ -162,7 +170,21 @@ class TrainConfig:
     # tfrs.tasks.Retrieval() omits it; it materially lifts top-k recall
     # against popularity-skewed ground truth.
     logq_correction: bool = True
-    checkpoint_every_steps: int = 0  # 0 = per-epoch only
+    # Scope of the in-batch softmax negatives under data parallelism
+    # (SURVEY §7.3 "per-replica vs global"). True (default) = candidates
+    # span the GLOBAL batch — the natural jit/GSPMD semantics (the whole
+    # [B, B] logits matrix is computed sharded) and the better-quality
+    # option (B·n_data-1 negatives per positive). False = per-replica
+    # [B_local, B_local] softmax, exact parity with the reference's
+    # tfrs.tasks.Retrieval under MirroredStrategy
+    # (/root/reference/src/models.py:116,137), run as an explicit
+    # shard_map step. Irrelevant when the data axis has one device.
+    global_negatives: bool = True
+    # mid-epoch checkpoint cadence for the STREAMING data path (long
+    # epochs over huge splits); 0 = per-epoch only. The device-resident
+    # path compiles a whole epoch into one lax.scan call, so per-epoch
+    # is its natural (and only) granularity.
+    checkpoint_every_steps: int = 0
     keep_checkpoints: int = 3
     resume: bool = False
     log_every_steps: int = 50
@@ -223,13 +245,34 @@ class MeshConfig:
     axis_names: Tuple[str, str] = ("data", "model")
     # how embedding tables are laid out: replicated | rows
     embedding_sharding: str = "replicated"
-    # fixed per-shard capacity for the all-to-all lookup exchange
+    # How row-sharded tables are read inside the train step (only
+    # meaningful with embedding_sharding="rows" and model_axis > 1):
+    #   "xla"  — jnp.take under jit; XLA's SPMD partitioner emits the
+    #            collective gather (zero code, good baseline),
+    #   "psum" — explicit shard_map step: masked local gather + psum of
+    #            [B, D] over the model axis (bandwidth-optimal small B),
+    #   "a2a"  — explicit shard_map step: ids bucketed by owner shard
+    #            into fixed-capacity bins, exchanged with lax.all_to_all,
+    #            gathered locally, exchanged back — each id moves ONCE,
+    #            the path that scales when B >> capacity per shard
+    #            (embed/table.py lookup bodies; equivalence-tested vs
+    #            the replicated path in tests/test_trainer_spmd.py).
+    lookup_strategy: str = "xla"
+    # headroom factor sizing the fixed per-(shard->shard) bucket of the
+    # a2a exchange: capacity = ceil(factor * B_local / n_shards)
+    # (uniform ids fill 1/n_shards of each bucket; skew needs slack —
+    # overflowing ids are served a zero row and counted in the step
+    # metrics as "lookup_overflow")
     lookup_capacity_factor: float = 2.0
 
     def __post_init__(self):
         if self.embedding_sharding not in ("replicated", "rows"):
             raise ValueError(
                 f"embedding_sharding must be replicated|rows, got {self.embedding_sharding!r}"
+            )
+        if self.lookup_strategy not in ("xla", "psum", "a2a"):
+            raise ValueError(
+                f"lookup_strategy must be xla|psum|a2a, got {self.lookup_strategy!r}"
             )
 
 

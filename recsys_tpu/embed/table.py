@@ -45,6 +45,24 @@ def lookup_replicated(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
 
 
+def lookup_psum_inside(table_shard: jnp.ndarray, ids: jnp.ndarray,
+                       axis: str) -> jnp.ndarray:
+    """Masked-local-gather + psum lookup **body** — call from inside an
+    enclosing ``shard_map`` whose mesh names ``axis`` (the trainer's
+    SPMD step does; :func:`make_sharded_lookup_psum` wraps it for
+    standalone use). Differentiable: the backward is the gather
+    transpose (scatter-add into local rows) + the psum transpose
+    (identity), derived by JAX automatically."""
+    rows_per_shard = table_shard.shape[0]
+    shard = lax.axis_index(axis)
+    local = ids - shard * rows_per_shard
+    own = (local >= 0) & (local < rows_per_shard)
+    safe = jnp.clip(local, 0, rows_per_shard - 1)
+    rows = jnp.take(table_shard, safe, axis=0)
+    rows = jnp.where(own[:, None], rows, 0.0)
+    return lax.psum(rows, axis)
+
+
 def make_sharded_lookup_psum(ctx: MeshContext) -> Callable:
     """Masked-local-gather + psum lookup.
 
@@ -55,14 +73,7 @@ def make_sharded_lookup_psum(ctx: MeshContext) -> Callable:
     axis = ctx.model_axis
 
     def body(table_shard, ids):
-        rows_per_shard = table_shard.shape[0]
-        shard = lax.axis_index(axis)
-        local = ids - shard * rows_per_shard
-        own = (local >= 0) & (local < rows_per_shard)
-        safe = jnp.clip(local, 0, rows_per_shard - 1)
-        rows = jnp.take(table_shard, safe, axis=0)
-        rows = jnp.where(own[:, None], rows, 0.0)
-        return lax.psum(rows, axis)
+        return lookup_psum_inside(table_shard, ids, axis)
 
     return jax.jit(
         jax.shard_map(
@@ -73,6 +84,75 @@ def make_sharded_lookup_psum(ctx: MeshContext) -> Callable:
             check_vma=False,
         )
     )
+
+
+def lookup_a2a_inside(table_shard: jnp.ndarray, ids: jnp.ndarray,
+                      axis: str, n: int, capacity: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Capacity-bucketed all-to-all lookup **body** — call from inside
+    an enclosing ``shard_map`` (the trainer's SPMD step does;
+    :func:`make_sharded_lookup_a2a` wraps it standalone).
+
+    Returns ``(rows [B, D], overflow [])`` where overflow counts the
+    local ids that exceeded their destination bucket's ``capacity`` and
+    were served a zero row. Differentiable wrt ``table_shard``: the
+    backward path is the gather transpose (scatter-add into local rows)
+    threaded back through the two all-to-alls (each its own transpose).
+    """
+    rows_per_shard = table_shard.shape[0]
+    owner = jnp.clip(ids // rows_per_shard, 0, n - 1)
+
+    # stable bucket-by-owner with fixed capacity per destination
+    order = jnp.argsort(owner, stable=True)
+    sorted_ids = ids[order]
+    sorted_owner = owner[order]
+    # position of each element within its owner run
+    ones = jnp.ones_like(sorted_owner)
+    pos_in_owner = jnp.cumsum(ones) - 1
+    start = jnp.searchsorted(sorted_owner, jnp.arange(n))
+    pos_in_owner = pos_in_owner - start[sorted_owner]
+    fits = pos_in_owner < capacity
+    overflow = jnp.sum(~fits)
+
+    # send buffer [n * capacity] of local row indices (+1, 0 = empty)
+    send = jnp.zeros((n * capacity,), jnp.int32)
+    slot = sorted_owner * capacity + jnp.where(fits, pos_in_owner, 0)
+    local_row = sorted_ids - sorted_owner * rows_per_shard
+    send = send.at[slot].set(
+        jnp.where(fits, local_row + 1, send[slot]).astype(jnp.int32)
+    )
+
+    # exchange id requests: chunk j goes to shard j
+    req = lax.all_to_all(
+        send.reshape(n, capacity), axis, split_axis=0, concat_axis=0
+    ).reshape(n * capacity)
+
+    # serve local rows (0 = empty slot -> produce zeros)
+    got = jnp.take(table_shard, jnp.clip(req - 1, 0, rows_per_shard - 1), axis=0)
+    got = jnp.where((req > 0)[:, None], got, 0.0)
+
+    # send results back
+    back = lax.all_to_all(
+        got.reshape(n, capacity, -1), axis, split_axis=0, concat_axis=0
+    ).reshape(n * capacity, -1)
+
+    # scatter results to original positions
+    out_sorted = jnp.where(fits[:, None], back[slot], 0.0)
+    out = jnp.zeros_like(out_sorted).at[order].set(out_sorted)
+    return out, overflow
+
+
+def a2a_capacity(batch_per_shard: int, n_shards: int,
+                 capacity_factor: float) -> int:
+    """Per-destination bucket size for the all-to-all exchange
+    (``MeshConfig.lookup_capacity_factor``): under a uniform id spread a
+    batch of B ids sends ~B/S to each shard; the factor is headroom for
+    skew. Rounded up to a multiple of 8 (sublane-friendly) and at least
+    8."""
+    import math
+
+    cap = math.ceil(capacity_factor * batch_per_shard / max(n_shards, 1))
+    return max(8, -(-cap // 8) * 8)
 
 
 def make_sharded_lookup_a2a(ctx: MeshContext, capacity: int) -> Callable:
@@ -89,47 +169,7 @@ def make_sharded_lookup_a2a(ctx: MeshContext, capacity: int) -> Callable:
     n = ctx.n_model
 
     def body(table_shard, ids):
-        b = ids.shape[0]
-        rows_per_shard = table_shard.shape[0]
-        owner = jnp.clip(ids // rows_per_shard, 0, n - 1)
-
-        # stable bucket-by-owner with fixed capacity per destination
-        order = jnp.argsort(owner, stable=True)
-        sorted_ids = ids[order]
-        sorted_owner = owner[order]
-        # position of each element within its owner run
-        ones = jnp.ones_like(sorted_owner)
-        pos_in_owner = jnp.cumsum(ones) - 1
-        start = jnp.searchsorted(sorted_owner, jnp.arange(n))
-        pos_in_owner = pos_in_owner - start[sorted_owner]
-        fits = pos_in_owner < capacity
-        overflow = jnp.sum(~fits)
-
-        # send buffer [n * capacity] of local row indices (+1, 0 = empty)
-        send = jnp.zeros((n * capacity,), jnp.int32)
-        slot = sorted_owner * capacity + jnp.where(fits, pos_in_owner, 0)
-        local_row = sorted_ids - sorted_owner * rows_per_shard
-        send = send.at[slot].set(
-            jnp.where(fits, local_row + 1, send[slot]).astype(jnp.int32)
-        )
-
-        # exchange id requests: chunk j goes to shard j
-        req = lax.all_to_all(
-            send.reshape(n, capacity), axis, split_axis=0, concat_axis=0
-        ).reshape(n * capacity)
-
-        # serve local rows (0 = empty slot -> produce zeros)
-        got = jnp.take(table_shard, jnp.clip(req - 1, 0, rows_per_shard - 1), axis=0)
-        got = jnp.where((req > 0)[:, None], got, 0.0)
-
-        # send results back
-        back = lax.all_to_all(
-            got.reshape(n, capacity, -1), axis, split_axis=0, concat_axis=0
-        ).reshape(n * capacity, -1)
-
-        # scatter results to original positions
-        out_sorted = jnp.where(fits[:, None], back[slot], 0.0)
-        out = jnp.zeros_like(out_sorted).at[order].set(out_sorted)
+        out, overflow = lookup_a2a_inside(table_shard, ids, axis, n, capacity)
         # total overflow across the data axis (identical on model replicas)
         return out, lax.psum(overflow, ctx.data_axis)
 

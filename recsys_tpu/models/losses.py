@@ -213,15 +213,29 @@ def weighted_bce_logits(
     pos_weight: float = 1.0,
     neg_weight: float = 1.0,
     mask: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Per-sample class-weighted sigmoid cross-entropy (numerically
     stable on logits — the reference applies BCE on post-sigmoid
-    probabilities, ``src/models.py:120,143``)."""
+    probabilities, ``src/models.py:120,143``).
+
+    Normalization is by the weight sum (a weighted mean). Under an
+    explicit shard_map step that normalization must span the GLOBAL
+    batch — per-shard pos/neg mixes differ, so a pmean of per-shard
+    weighted means is a slightly different objective than the GSPMD
+    full-batch loss. ``axis_name`` makes the denominator the pmean'd
+    weight sum: pmean over shards of the returned value then equals
+    the exact global weighted mean, and since the weights depend only
+    on labels (not params) the trainer's pmean-of-grads stays the
+    exact gradient."""
     per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     w = jnp.where(labels >= 0.5, pos_weight, neg_weight)
     if mask is not None:
         w = w * mask
-    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-6)
+    w_sum = jnp.sum(w)
+    if axis_name is not None:
+        w_sum = lax.pmean(w_sum, axis_name)
+    return jnp.sum(per * w) / jnp.maximum(w_sum, 1e-6)
 
 
 def balanced_class_weights(y: jnp.ndarray) -> Tuple[float, float]:

@@ -59,12 +59,14 @@ class MultiTaskModel:
         train: bool = False,
         key: Optional[jax.Array] = None,
         dense: Optional[jnp.ndarray] = None,
+        lookup=None,
     ) -> ForwardOut:
         k_tt = k_dcn = None
         if key is not None:
             k_tt, k_dcn = jax.random.split(key)
         u, v = TwoTower.apply(
-            params["towers"], cfg, user_ids, item_ids, train=train, key=k_tt
+            params["towers"], cfg, user_ids, item_ids, train=train, key=k_tt,
+            lookup=lookup,
         )
         if cfg.dense_features:
             if dense is None:
@@ -91,19 +93,27 @@ class MultiTaskModel:
         data_axis: Optional[str] = None,
         global_negatives: bool = False,
         neg_item_ids: Optional[jnp.ndarray] = None,
+        lookup=None,
+        data_axis_size: int = 1,
     ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Weighted multi-task loss + metric dict.
 
         ``data_axis`` + ``global_negatives`` turns on cross-batch
         retrieval negatives (all-gathered over DP replicas);
         ``neg_item_ids [B, K]`` adds the explicit-negatives loss path.
+        ``lookup`` overrides the embedding gather (the trainer's SPMD
+        step passes the psum/a2a row-sharded lookup bodies).
+        ``data_axis_size`` (static) must be the data-axis size when this
+        runs inside a shard_map — the bf16-logits "auto" threshold keys
+        on the CANDIDATE axis of the [B_local, B_global] logits matrix,
+        which is B_local * axis_size under global negatives.
         """
         k_fwd = k_neg = None
         if key is not None:
             k_fwd, k_neg = jax.random.split(key)
         out = MultiTaskModel.apply(
             params, cfg, batch["user_id"], batch["movie_id"], train=train,
-            key=k_fwd, dense=batch.get("dense"),
+            key=k_fwd, dense=batch.get("dense"), lookup=lookup,
         )
         mask = batch.get("mask")
         n_bias = params["towers"]["item_bias"].shape[0] - 1
@@ -137,6 +147,13 @@ class MultiTaskModel:
                 item_bias=bias,
             )
         else:
+            # the HBM-bound object is the [B_local, n_candidates] logits
+            # matrix; under global negatives the candidate axis spans the
+            # GLOBAL batch (B_local * data_axis_size), so the auto
+            # threshold keys on that, not on the local row count
+            n_candidates = u_retr.shape[0] * (
+                data_axis_size if (global_negatives and data_axis) else 1
+            )
             retr = losses.in_batch_softmax(
                 u_retr.astype(emb_dtype),
                 out.item_embedding.astype(emb_dtype),
@@ -149,21 +166,26 @@ class MultiTaskModel:
                     jnp.bfloat16 if (
                         cfg.bf16_retrieval_logits is True
                         or (cfg.bf16_retrieval_logits == "auto"
-                            and u_retr.shape[0] >= 8192)
+                            and n_candidates >= 8192)
                     ) else None
                 ),
             )
         if neg_item_ids is not None:
             neg_emb = TwoTower.item_embed(
-                params["towers"], neg_item_ids, cfg, train=train, key=k_neg
+                params["towers"], neg_item_ids, cfg, train=train, key=k_neg,
+                lookup=lookup,
             )
             retr = retr + losses.sampled_softmax_explicit(
                 u_retr, out.item_embedding, neg_emb
             )
         m = losses.mse(out.rating_pred, batch["rating"], mask=mask)
         w_pos, w_neg = class_weights
+        # data_axis (set by the explicit shard_map step regardless of
+        # the negatives scope) makes the BCE's weighted-mean denominator
+        # global — the objective must not change with the DP layout
         bce = losses.weighted_bce_logits(
-            out.ctr_logit, batch["y_implicit"], w_pos, w_neg, mask=mask
+            out.ctr_logit, batch["y_implicit"], w_pos, w_neg, mask=mask,
+            axis_name=data_axis,
         )
         reg = L.l2_penalty(
             {"dcn_deep": params["dcn"]["deep"],

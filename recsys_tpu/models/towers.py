@@ -69,9 +69,23 @@ class TwoTower:
         cfg: ModelConfig,
         train: bool,
         key: Optional[jax.Array],
+        lookup=None,
     ) -> jnp.ndarray:
-        n_oov = table.shape[0] - 1
-        rows = jnp.take(table, jnp.clip(ids, 0, n_oov), axis=0)
+        # ``lookup(table, ids) -> rows`` overrides the default gather —
+        # the trainer's SPMD step passes the psum/a2a row-sharded
+        # lookup bodies (embed/table.py) here, so the collective
+        # exchange runs INSIDE the gradient step and its transpose
+        # (scatter-add into local table rows) is derived by autodiff.
+        if lookup is not None:
+            if ids.ndim > 1:  # e.g. explicit negatives [B, K]
+                rows = lookup(table, ids.reshape(-1)).reshape(
+                    ids.shape + (table.shape[-1],)
+                )
+            else:
+                rows = lookup(table, ids)
+        else:
+            n_oov = table.shape[0] - 1
+            rows = jnp.take(table, jnp.clip(ids, 0, n_oov), axis=0)
         dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
         out = L.mlp(
             tower_params,
@@ -88,15 +102,19 @@ class TwoTower:
         return out
 
     @staticmethod
-    def user_embed(params, user_ids, cfg, train=False, key=None) -> jnp.ndarray:
+    def user_embed(params, user_ids, cfg, train=False, key=None,
+                   lookup=None) -> jnp.ndarray:
         return TwoTower._tower(
-            params["user_table"], params["user_tower"], user_ids, cfg, train, key
+            params["user_table"], params["user_tower"], user_ids, cfg, train,
+            key, lookup,
         )
 
     @staticmethod
-    def item_embed(params, item_ids, cfg, train=False, key=None) -> jnp.ndarray:
+    def item_embed(params, item_ids, cfg, train=False, key=None,
+                   lookup=None) -> jnp.ndarray:
         return TwoTower._tower(
-            params["item_table"], params["item_tower"], item_ids, cfg, train, key
+            params["item_table"], params["item_tower"], item_ids, cfg, train,
+            key, lookup,
         )
 
     @staticmethod
@@ -107,6 +125,7 @@ class TwoTower:
         item_ids: Optional[jnp.ndarray] = None,
         train: bool = False,
         key: Optional[jax.Array] = None,
+        lookup=None,
     ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         """Partial-input contract of ``MultiTowerModel.call``
         (``src/models.py:79-91``): returns (user_emb | None,
@@ -115,11 +134,11 @@ class TwoTower:
         if key is not None:
             ku, ki = jax.random.split(key)
         u = (
-            TwoTower.user_embed(params, user_ids, cfg, train, ku)
+            TwoTower.user_embed(params, user_ids, cfg, train, ku, lookup)
             if user_ids is not None else None
         )
         v = (
-            TwoTower.item_embed(params, item_ids, cfg, train, ki)
+            TwoTower.item_embed(params, item_ids, cfg, train, ki, lookup)
             if item_ids is not None else None
         )
         return u, v

@@ -45,22 +45,56 @@ logger = logging.getLogger(__name__)
 # the same bytes the serving TPU runs
 _PLATFORMS = ("cpu", "tpu")
 
+# bundle files whose contents are baked into the artifact as constants
+# (weights + catalog) or shape its calling convention (config)
+_FINGERPRINT_FILES = ("encoder.npz", "index.npz", "config.json")
+
+
+def bundle_fingerprint(model_dir: str) -> str:
+    """Content hash of the bundle files the artifact bakes in. Stamped
+    into the export metadata and re-verified at serving load: if the
+    bundle is retrained/rebuilt without re-exporting ``retrieve.hlo``,
+    the stale artifact would silently serve old weights (and, when the
+    catalog order changed, WRONG item ids) while ``/model/info`` reports
+    the new bundle's version."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in _FINGERPRINT_FILES:
+        path = os.path.join(model_dir, name)
+        h.update(name.encode())
+        with open(path, "rb") as f:
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                h.update(chunk)
+    return h.hexdigest()
+
 
 def build_retrieve_fn(model_dir: str, k: int = 10) -> Callable:
     """The full retrieve closure (ids -> scores, item indices) with
     trained params + catalog as constants."""
     cfg = RecsysConfig.load(os.path.join(model_dir, "config.json"))
-    params = load_encoder_params(model_dir)
+    # constants must stay HOST numpy: export-time lowering embeds every
+    # closed-over array as a constant, and fetching device-resident
+    # constants stalls indefinitely when the device is a remote-tunneled
+    # TPU (observed: export hung >9 min with jnp constants, 13 s with
+    # numpy). np.asarray also makes the trace device-independent.
+    params = jax.tree.map(np.asarray, load_encoder_params(model_dir))
     index = RetrievalIndex.load(os.path.join(model_dir, "index.npz"))
-    items = jnp.asarray(index.item_embeddings_np)
+    items = np.asarray(index.item_embeddings_np)
     if index.normalize:
-        items = l2_normalize(items)
+        items = items / np.maximum(
+            np.linalg.norm(items, axis=-1, keepdims=True), 1e-12
+        )
+    items_t = np.ascontiguousarray(items.T)
 
     def retrieve(user_dense_ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         u = TwoTower.user_embed(params, user_dense_ids, cfg.model)
         if index.normalize:
             u = l2_normalize(u)
-        scores = jnp.dot(u, items.T, preferred_element_type=jnp.float32)
+        scores = jnp.dot(u, items_t, preferred_element_type=jnp.float32)
         return jax.lax.top_k(scores, k)
 
     return retrieve
@@ -86,6 +120,7 @@ def export_retrieve(model_dir: str, out_path: str, k: int = 10) -> dict:
         "calling_convention": "user_dense_ids[int32, b] -> "
                               "(scores[f32, b, k], item_idx[int32, b, k])",
         "bytes": len(blob),
+        "source_fingerprint": bundle_fingerprint(model_dir),
     }
     with open(out_path + ".json", "w") as f:
         json.dump(meta, f, indent=2)

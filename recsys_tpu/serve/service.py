@@ -141,11 +141,28 @@ class RecommendationService:
                 self.mesh_ctx, int8=self.int8_catalog
             )
         if self.backend == "exported":
-            from recsys_tpu.serve.export import load_exported
+            from recsys_tpu.serve.export import bundle_fingerprint, load_exported
 
             path = self.exported_path or os.path.join(d, "retrieve.hlo")
             with open(path + ".json") as f:
-                self._exported_k = int(json.load(f)["k"])
+                meta = json.load(f)
+            self._exported_k = int(meta["k"])
+            # coherence gate: the artifact bakes in weights + catalog as
+            # constants, while recommend() maps its returned row indices
+            # through THIS bundle's index.npz and reranks with THIS
+            # bundle's model.npz. A stale artifact over a retrained
+            # bundle silently serves old weights — or wrong item ids if
+            # the catalog order changed — so fail loudly instead.
+            current = bundle_fingerprint(d)
+            stamped = meta.get("source_fingerprint")
+            if stamped != current:
+                raise ValueError(
+                    f"exported artifact {path} was built from a different "
+                    f"bundle than {d} (stamped fingerprint "
+                    f"{stamped!r}, current {current[:16]}...): the bundle "
+                    "was retrained or rebuilt after export — re-run "
+                    "scripts/export.py to refresh retrieve.hlo"
+                )
             self._exported_fn = load_exported(path)
             if self.rerank_candidates > self._exported_k:
                 raise ValueError(

@@ -61,7 +61,11 @@ def adagrad(
     initial_accumulator: float = 0.1,  # Keras Adagrad default
     eps: float = 1e-7,
     clipnorm: float = 0.0,
+    lr_scale_fn: Callable = None,
 ) -> Optimizer:
+    """``lr_scale_fn(path) -> float`` (static, evaluated at trace time
+    per leaf path) scales the learning rate per parameter subtree — the
+    mechanism behind ``TrainConfig.learning_rate_ranking``."""
     def init(params):
         return {
             "accum": jax.tree.map(
@@ -74,9 +78,12 @@ def adagrad(
             grads = clip_by_global_norm(grads, clipnorm)
         lr = schedule(step)
         accum = jax.tree.map(lambda a, g: a + jnp.square(g), state["accum"], grads)
-        new_params = jax.tree.map(
-            lambda p, g, a: p - lr * g / (jnp.sqrt(a) + eps), params, grads, accum
-        )
+
+        def upd(path, p, g, a):
+            s = lr_scale_fn(path) if lr_scale_fn is not None else 1.0
+            return p - (lr * s) * g / (jnp.sqrt(a) + eps)
+
+        new_params = jax.tree_util.tree_map_with_path(upd, params, grads, accum)
         return new_params, {"accum": accum}
 
     return Optimizer(init, update)
@@ -88,6 +95,7 @@ def adam(
     b2: float = 0.999,
     eps: float = 1e-8,
     clipnorm: float = 0.0,
+    lr_scale_fn: Callable = None,
 ) -> Optimizer:
     def init(params):
         z = jax.tree.map(jnp.zeros_like, params)
@@ -102,10 +110,12 @@ def adam(
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state["nu"], grads)
         mhat_scale = 1.0 / (1 - b1 ** t)
         vhat_scale = 1.0 / (1 - b2 ** t)
-        new_params = jax.tree.map(
-            lambda p, m, v: p - lr * (m * mhat_scale) / (jnp.sqrt(v * vhat_scale) + eps),
-            params, mu, nu,
-        )
+
+        def upd(path, p, m, v):
+            s = lr_scale_fn(path) if lr_scale_fn is not None else 1.0
+            return p - (lr * s) * (m * mhat_scale) / (jnp.sqrt(v * vhat_scale) + eps)
+
+        new_params = jax.tree_util.tree_map_with_path(upd, params, mu, nu)
         return new_params, {"mu": mu, "nu": nu}
 
     return Optimizer(init, update)
@@ -196,11 +206,36 @@ def make_schedule(train_cfg) -> Schedule:
     )
 
 
+# the "ranking stack" of the multi-task model: DCN + both ranking heads
+# (the retrieval side — tables, towers, item_bias — keeps the base LR,
+# mirroring the reference's learning_rate_retrieval/learning_rate_ranking
+# split at /root/reference/src/config.py:28-29, which its trainer never
+# actually wired up)
+RANKING_PARAM_KEYS = ("dcn", "rating_head", "ctr_head")
+
+
+def ranking_lr_scale(train_cfg) -> Callable:
+    """Per-leaf LR scale implementing ``learning_rate_ranking``; None
+    when the split is off (field unset), keeping the single-optimizer
+    behavior the reference actually ran."""
+    lrr = train_cfg.learning_rate_ranking
+    if lrr is None or lrr == train_cfg.learning_rate:
+        return None
+    ratio = lrr / train_cfg.learning_rate
+
+    def scale(path) -> float:
+        names = [p.key for p in path if hasattr(p, "key")]
+        return ratio if any(n in RANKING_PARAM_KEYS for n in names) else 1.0
+
+    return scale
+
+
 def make_optimizer(train_cfg) -> Optimizer:
     """Build the configured optimizer from a TrainConfig."""
     sched = make_schedule(train_cfg)
+    scale_fn = ranking_lr_scale(train_cfg)
     if train_cfg.optimizer == "adagrad":
-        return adagrad(sched, clipnorm=train_cfg.clipnorm)
+        return adagrad(sched, clipnorm=train_cfg.clipnorm, lr_scale_fn=scale_fn)
     if train_cfg.optimizer == "adam":
-        return adam(sched, clipnorm=train_cfg.clipnorm)
+        return adam(sched, clipnorm=train_cfg.clipnorm, lr_scale_fn=scale_fn)
     raise ValueError(f"unknown optimizer {train_cfg.optimizer!r}")

@@ -192,9 +192,33 @@ class Trainer:
         elems = tw["user_table"].size + tw["item_table"].size
         return elems > self.SPARSE_AUTO_THRESHOLD
 
+    def _use_spmd_step(self) -> bool:
+        """The explicit shard_map step is required when (a) row-sharded
+        tables must be read through an explicit collective lookup
+        (psum/a2a — or xla-with-rows inside any shard_map step, where
+        the body sees table SHARDS and a plain gather would be wrong),
+        or (b) per-replica in-batch negatives are requested
+        (``global_negatives=False``), which the jit/GSPMD path cannot
+        express (it always computes the full global [B, B] logits)."""
+        cfg = self.config
+        ctx = self.ctx
+        rows = cfg.mesh.embedding_sharding == "rows" and ctx.n_model > 1
+        explicit_lookup = rows and cfg.mesh.lookup_strategy != "xla"
+        per_replica = (not cfg.train.global_negatives) and ctx.n_data > 1
+        return explicit_lookup or per_replica
+
     def _step_core(self, class_weights, use_explicit_negs: bool):
         cfg = self.config
         opt = self.optimizer
+        if self._use_spmd_step():
+            if self._resolve_sparse_updates() and cfg.train.optimizer == "adagrad":
+                logger.info(
+                    "sparse_table_updates bypassed: the explicit SPMD "
+                    "step (lookup_strategy=%s, global_negatives=%s) "
+                    "owns the table gradient path",
+                    cfg.mesh.lookup_strategy, cfg.train.global_negatives,
+                )
+            return self._step_core_spmd(class_weights, use_explicit_negs)
         if (
             self._resolve_sparse_updates()
             and cfg.train.optimizer == "adagrad"
@@ -246,7 +270,13 @@ class Trainer:
 
         cfg = self.config
         sched = opt_lib.make_schedule(cfg.train)
-        noclip = opt_lib.adagrad(sched, clipnorm=0.0)
+        # the dense leaves (DCN + heads) must honor the ranking-LR split
+        # exactly like the dense step's optimizer; the table rows below
+        # are retrieval-side and keep the base LR by definition
+        noclip = opt_lib.adagrad(
+            sched, clipnorm=0.0,
+            lr_scale_fn=opt_lib.ranking_lr_scale(cfg.train),
+        )
         clipnorm = cfg.train.clipnorm
         keys = self._TABLE_KEYS
 
@@ -346,6 +376,194 @@ class Trainer:
                 TrainState(new_params, new_opt, state.step + 1, state.rng),
                 metrics,
             )
+
+        return step_fn
+
+    def _step_core_spmd(self, class_weights, use_explicit_negs: bool):
+        """Explicit-SPMD train step: forward/backward run inside a
+        ``shard_map`` over the (data, model) mesh, so
+
+        * row-sharded embedding tables are read through the psum or
+          all-to-all lookup bodies (``embed/table.py``) — the collective
+          exchange executes INSIDE the gradient step and its transpose
+          (scatter-add into local rows) is derived by autodiff
+          (SURVEY §2.3 "row-sharded embedding engine"),
+        * the in-batch softmax scope is explicit: per-replica
+          [B_local, B_local] (reference MirroredStrategy parity,
+          ``/root/reference/src/models.py:116,137``) or global via
+          ``lax.all_gather`` over the data axis
+          (``TrainConfig.global_negatives``),
+        * gradients are pmean'd over the data axis in-body (grad of the
+          global mean loss = pmean of per-shard local-mean grads).
+
+        The optimizer update runs outside the shard_map under the
+        enclosing jit (slot variables inherit the table sharding).
+        Numerically equivalent to the jit/GSPMD path when
+        ``global_negatives=True`` — asserted by
+        ``tests/test_trainer_spmd.py`` on a 2x2 CPU mesh."""
+        from jax import lax as _lax
+
+        from recsys_tpu.embed.table import (
+            a2a_capacity, lookup_a2a_inside, lookup_psum_inside,
+        )
+
+        cfg = self.config
+        ctx = self.ctx
+        opt = self.optimizer
+        rows = cfg.mesh.embedding_sharding == "rows" and ctx.n_model > 1
+        strategy = cfg.mesh.lookup_strategy if rows else None
+        glob = cfg.train.global_negatives
+        n_model = ctx.n_model
+        cap_factor = cfg.mesh.lookup_capacity_factor
+        rng_impl = cfg.train.dropout_rng_impl
+
+        def param_spec(path, leaf):
+            names = [p.key for p in path if hasattr(p, "key")]
+            if rows and names and names[-1] in ("user_table", "item_table"):
+                return P(ctx.model_axis, None)
+            return P()
+
+        def batch_spec(leaf):
+            return P(ctx.data_axis, *([None] * (leaf.ndim - 1)))
+
+        def a2a_overflow(ids, rows_per_shard, cap):
+            # per-destination demand beyond the fixed bucket capacity —
+            # mirrors the bucketing inside lookup_a2a_inside
+            owner = jnp.clip(ids // rows_per_shard, 0, n_model - 1)
+            counts = jnp.zeros((n_model,), jnp.int32).at[owner].add(1)
+            return jnp.sum(jnp.maximum(counts - cap, 0))
+
+        def grad_body(params, batch, rng_base, step):
+            b_local = batch["user_id"].shape[0]
+            # per-(data-slot, step) dropout stream: fold the slot index
+            # in so rows on different data shards draw independent masks
+            slot = _lax.axis_index(ctx.data_axis)
+            if rng_impl == "rbg":
+                data = jnp.stack([
+                    rng_base[0].astype(jnp.uint32),
+                    rng_base[1].astype(jnp.uint32),
+                    step.astype(jnp.uint32),
+                    jnp.uint32(0x5EED) ^ slot.astype(jnp.uint32),
+                ])
+                key = jax.random.wrap_key_data(data, impl="rbg")
+            else:
+                key = jax.random.fold_in(
+                    jax.random.fold_in(rng_base, step), slot
+                )
+
+            lookup = None
+            overflow = None
+            if strategy == "a2a":
+                def lookup(table_shard, ids):  # noqa: F811
+                    # capacity sized from THIS call's id count (static at
+                    # trace time): the explicit-negatives path pushes
+                    # [B_local * K] flattened ids through the same
+                    # closure, which a capacity sized from b_local alone
+                    # would silently overflow into zero rows
+                    cap = a2a_capacity(ids.shape[0], n_model, cap_factor)
+                    out, _ = lookup_a2a_inside(
+                        table_shard, ids, ctx.model_axis, n_model, cap
+                    )
+                    return out
+
+                cap_b = a2a_capacity(b_local, n_model, cap_factor)
+                tw = params["towers"]
+                overflow = (
+                    a2a_overflow(batch["user_id"],
+                                 tw["user_table"].shape[0], cap_b)
+                    + a2a_overflow(batch["movie_id"],
+                                   tw["item_table"].shape[0], cap_b)
+                ).astype(jnp.float32)
+                if use_explicit_negs:
+                    neg_flat = batch["neg_ids"].reshape(-1)
+                    overflow = overflow + a2a_overflow(
+                        neg_flat, tw["item_table"].shape[0],
+                        a2a_capacity(neg_flat.shape[0], n_model, cap_factor),
+                    ).astype(jnp.float32)
+            elif rows:
+                # psum body; also the fallback when lookup_strategy is
+                # "xla" but another reason forced the explicit step (a
+                # plain gather inside shard_map would read shard-local
+                # row offsets as global ids)
+                def lookup(table_shard, ids):  # noqa: F811
+                    return lookup_psum_inside(table_shard, ids, ctx.model_axis)
+
+            neg_ids = batch.pop("neg_ids") if use_explicit_negs else None
+            (loss, metrics), grads = jax.value_and_grad(
+                MultiTaskModel.loss, has_aux=True
+            )(
+                params,
+                cfg.model,
+                batch,
+                key=key,
+                train=True,
+                class_weights=class_weights,
+                # data_axis is always set in-body (global BCE weight
+                # normalization); global_negatives alone decides whether
+                # the retrieval candidates are all-gathered
+                data_axis=ctx.data_axis,
+                global_negatives=glob,
+                neg_item_ids=neg_ids,
+                lookup=lookup,
+                data_axis_size=ctx.n_data,
+            )
+            # grad of the global-mean loss = pmean of local-mean grads
+            # (holds for sharded table leaves too: each data slot
+            # scatters into its own touched rows, the pmean sums them)
+            grads = jax.tree.map(lambda g: _lax.pmean(g, ctx.data_axis), grads)
+            metrics = jax.tree.map(
+                lambda m: _lax.pmean(m, ctx.data_axis), metrics
+            )
+            if strategy == "a2a":
+                # every model replica of a data slot issues identical
+                # a2a requests on the replicated batch and gets identical
+                # rows back, but the vma check can only infer all_to_all
+                # outputs as "varying over model" — reclaim the static
+                # replication the out_specs promise with an exact pmean
+                # (average of identical values) over the model axis for
+                # replicated-spec leaves; sharded table grads stay put.
+                def _remodel(path, g):
+                    names = [p.key for p in path if hasattr(p, "key")]
+                    if names and names[-1] in ("user_table", "item_table"):
+                        return g
+                    return _lax.pmean(g, ctx.model_axis)
+
+                grads = jax.tree_util.tree_map_with_path(_remodel, grads)
+                metrics = jax.tree.map(
+                    lambda m: _lax.pmean(m, ctx.model_axis), metrics
+                )
+            if overflow is not None:
+                metrics["lookup_overflow"] = _lax.pmean(
+                    overflow, ctx.data_axis
+                )
+            return grads, metrics
+
+        def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
+            params_specs = jax.tree_util.tree_map_with_path(
+                param_spec, state.params
+            )
+            batch_specs = jax.tree.map(batch_spec, batch)
+            metric_names = ("loss", "retrieval_loss", "rating_mse",
+                            "ctr_bce", "l2")
+            metric_specs = {k: P() for k in metric_names}
+            if strategy == "a2a":
+                metric_specs["lookup_overflow"] = P()
+            # check_vma=True is load-bearing, not hygiene: with the
+            # varying-manual-axes check off, the transpose of the
+            # lookup's lax.psum is another psum instead of identity and
+            # every table gradient comes back multiplied by n_model
+            # (measured 2x on a model=2 mesh).
+            grads, metrics = jax.shard_map(
+                grad_body,
+                mesh=ctx.mesh,
+                in_specs=(params_specs, batch_specs, P(), P()),
+                out_specs=(params_specs, metric_specs),
+                check_vma=True,
+            )(state.params, batch, state.rng, state.step)
+            new_params, new_opt = opt.update(
+                grads, state.opt_state, state.params, state.step
+            )
+            return TrainState(new_params, new_opt, state.step + 1, state.rng), metrics
 
         return step_fn
 
@@ -670,6 +888,16 @@ class Trainer:
                             for k, v in m.items():
                                 agg[k] = agg.get(k, 0.0) + float(v)
                             agg["_agg_count"] = agg.get("_agg_count", 0) + 1
+                        if (t_cfg.checkpoint_every_steps
+                                and n_steps % t_cfg.checkpoint_every_steps == 0):
+                            # mid-epoch safety checkpoint for long
+                            # streaming epochs (the device-resident path
+                            # is one compiled call — per-epoch there)
+                            self.ckpt.save(
+                                int(np.asarray(state.step)),
+                                state._asdict(),
+                                metrics={"mid_epoch": float(epoch)},
+                            )
                     jax.block_until_ready(state.params)
                     count = max(agg.pop("_agg_count", 1), 1)
                     logs = {f"train_{k}": v / count for k, v in agg.items()}

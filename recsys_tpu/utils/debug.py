@@ -31,7 +31,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 def _tree_checksum(tree: Any) -> jnp.ndarray:
     """Order-independent fp32 checksum of every leaf: sum of |x| plus
-    sum of x (catches sign flips that |x| alone would miss)."""
+    sum of x (catches sign flips that |x| alone would miss). Reported
+    for observability; the desync DETECTOR is :func:`_tree_bit_checksum`
+    (an fp32 magnitude sum over ~1e7 |params| has ~10 absolute
+    tolerance — single-element drift vanishes in the reduction)."""
     total = jnp.float32(0.0)
     for leaf in jax.tree.leaves(tree):
         if not hasattr(leaf, "dtype"):
@@ -41,6 +44,34 @@ def _tree_checksum(tree: Any) -> jnp.ndarray:
         ):
             x = leaf.astype(jnp.float32)
             total = total + jnp.sum(jnp.abs(x)) + jnp.sum(x)
+    return total
+
+
+def _tree_bit_checksum(tree: Any) -> jnp.ndarray:
+    """Bit-exact order-independent checksum: XOR-fold of every leaf's
+    raw bit pattern. Replicated state is produced by the SAME compiled
+    computation on every data-axis slot (XLA collectives return
+    identical values on all participants), so true replicas are bitwise
+    identical — a single flipped bit anywhere changes this checksum,
+    with no float-absorption blind spot."""
+    from jax import lax
+
+    total = jnp.uint32(0)
+    for leaf in jax.tree.leaves(tree):
+        if not hasattr(leaf, "dtype"):
+            continue
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            bits = lax.bitcast_convert_type(
+                leaf.astype(jnp.float32), jnp.uint32
+            )
+        elif jnp.issubdtype(leaf.dtype, jnp.integer):
+            bits = leaf.astype(jnp.uint32)
+        else:
+            continue
+        folded = lax.reduce(
+            bits, jnp.uint32(0), lax.bitwise_xor, tuple(range(bits.ndim))
+        )
+        total = total ^ folded
     return total
 
 
@@ -74,19 +105,35 @@ def per_device_checksums(tree: Any, mesh: Mesh, data_axis: str = "data"):
         jax.shard_map,
         mesh=mesh,
         in_specs=P(),  # pytree prefix: every leaf replicated
-        out_specs=P(ordered),
+        out_specs=(P(ordered), P(ordered)),
     )
     def _per_slot(leaves):
-        return _tree_checksum(leaves).reshape(1)
+        return (
+            _tree_checksum(leaves).reshape(1),
+            _tree_bit_checksum(leaves).reshape(1),
+        )
 
-    return np.asarray(_per_slot(rep_leaves))
+    mag, bits = _per_slot(rep_leaves)
+    return np.asarray(mag), np.asarray(bits)
 
 
 def assert_replicated(tree: Any, mesh: Mesh, data_axis: str = "data",
                       rtol: float = 1e-6) -> np.ndarray:
     """Raise ``RuntimeError`` if nominally replicated state has drifted
-    across the data axis. Returns the per-slot checksums on success."""
-    sums = per_device_checksums(tree, mesh, data_axis)
+    across the data axis. Detection is bit-exact (XOR checksum of raw
+    bit patterns — replicas of the same compiled step are bitwise
+    identical, so even one-element drift is caught); the fp32 magnitude
+    checksum is returned for logging. ``rtol`` guards the magnitude
+    comparison as a secondary sanity check only."""
+    sums, bits = per_device_checksums(tree, mesh, data_axis)
+    if np.any(bits != bits[0]):
+        raise RuntimeError(
+            f"replica desync detected: per-device bit checksums "
+            f"{[hex(int(b)) for b in bits.ravel()]} differ — nominally "
+            f"replicated state is not bitwise identical across the "
+            f"'{data_axis}' mesh axis (magnitude checksums "
+            f"{sums.tolist()})"
+        )
     ref = sums[0]
     tol = rtol * max(abs(float(ref)), 1.0)
     if np.any(np.abs(sums - ref) > tol):

@@ -13,8 +13,11 @@ drop-in comparable):
 * ``config.json``           — the run config (``src/trainer.py:233``)
 
 Per-host: only process 0 writes. Sinks: console + CSV + JSON always;
-TensorBoard/W&B optional if the libraries exist (optional-dependency
-guard parity with ``src/trainer.py:21-32``).
+TensorBoard (tensorboardX event files under ``<output_dir>/tensorboard``,
+the reference's per-epoch TB callback at ``src/trainer.py:169``) and W&B
+(per-epoch ``log`` against the active run, ``src/trainer.py:173-174``)
+when the libraries exist — optional-dependency guard parity with
+``src/trainer.py:21-32``.
 """
 
 from __future__ import annotations
@@ -41,15 +44,35 @@ except ImportError:  # pragma: no cover
 class MetricWriter:
     """Collects per-epoch metrics and writes the artifact set."""
 
-    def __init__(self, output_dir: str, flush_every: int = 2):
+    def __init__(self, output_dir: str, flush_every: int = 2,
+                 tensorboard: bool = True):
         self.output_dir = output_dir
         self.flush_every = flush_every
         self.history: List[Dict[str, Any]] = []
         self._csv_fields: Optional[List[str]] = None
         self._is_writer = jax.process_index() == 0
         self._epoch_start = 0.0
+        self._tb = None
         if self._is_writer:
             os.makedirs(output_dir, exist_ok=True)
+            if tensorboard:
+                try:
+                    from tensorboardX import SummaryWriter
+
+                    self._tb = SummaryWriter(
+                        os.path.join(output_dir, "tensorboard")
+                    )
+                except ImportError:
+                    logger.info("tensorboardX not installed; TB sink off")
+
+    @staticmethod
+    def _wandb_run():
+        """The active W&B run, if the CLI's ``--use_wandb`` created one
+        (``wandb.run`` is the library's own process-global)."""
+        import sys
+
+        wandb = sys.modules.get("wandb")
+        return getattr(wandb, "run", None) if wandb is not None else None
 
     # ---- epoch lifecycle -------------------------------------------
     def start_epoch(self) -> None:
@@ -65,6 +88,14 @@ class MetricWriter:
         self.history.append(entry)
         if self._is_writer:
             self._write_csv_row(entry)
+            if self._tb is not None:
+                for k, v in entry.items():
+                    if k != "epoch":
+                        self._tb.add_scalar(k, v, global_step=epoch)
+            run = self._wandb_run()
+            if run is not None:
+                run.log({k: v for k, v in entry.items() if k != "epoch"},
+                        step=epoch)
             if (epoch + 1) % self.flush_every == 0:
                 self._flush_detailed()
             logger.info(
@@ -94,6 +125,10 @@ class MetricWriter:
         if self._is_writer:
             with open(os.path.join(self.output_dir, "metrics.json"), "w") as f:
                 json.dump({k: float(v) for k, v in metrics.items()}, f, indent=2)
+            run = self._wandb_run()
+            if run is not None:
+                run.log({f"final/{k}": float(v) for k, v in metrics.items()
+                         if isinstance(v, (int, float))})
 
     def write_config(self, config) -> None:
         if self._is_writer:
@@ -102,6 +137,9 @@ class MetricWriter:
     def close(self) -> None:
         if self._is_writer:
             self._flush_detailed()
+            if self._tb is not None:
+                self._tb.close()
+                self._tb = None
 
 
 def setup_logging(level: int = logging.INFO) -> None:

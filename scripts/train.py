@@ -10,8 +10,9 @@ resolved in favor of the CLI, which is what users actually ran):
   --num_random_negatives --ctr_weight --rating_weight
   --distributed_strategy --use_wandb
 
-New (TPU): --model_parallel --embedding_sharding --resume --bf16
-  --global_negatives --eval_sample
+New (TPU): --model_parallel --embedding_sharding --lookup_strategy
+  --resume --bf16 --global_negatives/--per_replica_negatives
+  --eval_sample --use_dense_features --use_side_features
 """
 
 import os
@@ -33,7 +34,13 @@ def build_config(args):
     if args.use_dense_features:
         from recsys_tpu.data.features import FeatureEngineer
 
-        dense = FeatureEngineer.n_features()
+        n_user_side = 3 if args.use_side_features else 0
+        n_item_side = 1 if args.use_side_features else 0
+        dense = FeatureEngineer.n_features(
+            n_user_side=n_user_side, n_item_side=n_item_side
+        )
+    elif args.use_side_features:
+        raise SystemExit("--use_side_features requires --use_dense_features")
     return RecsysConfig(
         model=ModelConfig(
             embedding_dim=args.embedding_dim,
@@ -55,10 +62,12 @@ def build_config(args):
             epochs=args.epochs,
             resume=args.resume,
             seed=args.seed,
+            global_negatives=args.global_negatives,
         ),
         mesh=MeshConfig(
             model_axis=args.model_parallel,
             embedding_sharding=args.embedding_sharding,
+            lookup_strategy=args.lookup_strategy,
         ),
         eval=EvalConfig(eval_sample=args.eval_sample),
     )
@@ -89,6 +98,27 @@ def main(argv=None) -> int:
                     help="size of the model mesh axis (embedding-row shards)")
     ap.add_argument("--embedding_sharding", default="replicated",
                     choices=["replicated", "rows"])
+    ap.add_argument("--lookup_strategy", default="xla",
+                    choices=["xla", "psum", "a2a"],
+                    help="how row-sharded tables are read in the train "
+                         "step: xla = GSPMD-partitioned gather, psum/a2a "
+                         "= explicit shard_map collective lookup "
+                         "(embed/table.py)")
+    ap.add_argument("--global_negatives", action="store_true", default=True,
+                    help="in-batch softmax candidates span the GLOBAL "
+                         "batch under data parallelism (default; more "
+                         "negatives per positive)")
+    ap.add_argument("--per_replica_negatives", dest="global_negatives",
+                    action="store_false",
+                    help="per-replica [B_local, B_local] softmax — exact "
+                         "parity with the reference's tfrs Retrieval "
+                         "under MirroredStrategy (src/models.py:116,137)")
+    ap.add_argument("--use_side_features", action="store_true",
+                    help="merge the MovieLens demographic side tables "
+                         "(gender/age/occupation + movie year) into the "
+                         "engineered features (the external-feature merge "
+                         "of src/data_processing.py:243-258); requires "
+                         "--use_dense_features")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -157,8 +187,8 @@ def main(argv=None) -> int:
         trainer = Trainer(cfg, output_dir=args.output_dir)
         report = trainer.train(bundle)
         logger.info("final metrics: %s", report)
-        if wandb_run is not None:
-            wandb_run.log(report)
+        # per-epoch + final W&B logging happens inside MetricWriter
+        # (src/trainer.py:173-174,218-219 parity); nothing to add here
         return 0
     except KeyboardInterrupt:
         logger.warning("interrupted by user")

@@ -132,6 +132,20 @@ def test_replication_checksum_clean_and_desynced():
     with pytest.raises(RuntimeError, match="replica desync"):
         assert_replicated(bad, ctx.mesh, ctx.data_axis)
 
+    # a SINGLE-element drift far below the fp32 magnitude tolerance
+    # (sum |params| ~1e7 -> tol ~10; drift 1e-3) must still be caught —
+    # the bit-exact XOR checksum has no absorption blind spot
+    big = np.full((1_000_000,), 10.0, np.float32)
+    bufs = []
+    for i, d in enumerate(devs):
+        arr = big.copy()
+        if i == 0:
+            arr[123] += 1e-3
+        bufs.append(jax.device_put(arr, d))
+    subtle = jax.make_array_from_single_device_arrays((1_000_000,), rep, bufs)
+    with pytest.raises(RuntimeError, match="bit checksums"):
+        assert_replicated({"w": subtle}, ctx.mesh, ctx.data_axis)
+
 
 def test_trainer_replication_check_runs(tiny_bundle, tmp_path):
     """TrainConfig.replication_check_every_epochs wires the checksum
@@ -155,3 +169,44 @@ def test_trainer_replication_check_runs(tiny_bundle, tmp_path):
     hist = _json.load(open(tmp_path / "repl" / "detailed_metrics.json"))["epochs"]
     assert "replica_checksum" in hist[0]
     assert np.isfinite(hist[0]["replica_checksum"])
+
+
+def test_metric_writer_tensorboard_and_wandb_sinks(tmp_path, monkeypatch):
+    """MetricWriter writes per-epoch TensorBoard scalars (the reference
+    wires a TB callback per epoch, ``src/trainer.py:169``) and logs each
+    epoch + the final report to the active W&B run
+    (``src/trainer.py:173-174,218-219``)."""
+    import sys
+    import types
+
+    from recsys_tpu.utils.metrics_io import MetricWriter
+
+    logged = []
+    fake_run = types.SimpleNamespace(
+        log=lambda payload, step=None: logged.append((step, payload))
+    )
+    fake_wandb = types.ModuleType("wandb")
+    fake_wandb.run = fake_run
+    monkeypatch.setitem(sys.modules, "wandb", fake_wandb)
+
+    w = MetricWriter(str(tmp_path))
+    for epoch in range(3):
+        w.start_epoch()
+        w.end_epoch(epoch, {"train_loss": 1.0 / (epoch + 1), "val_loss": 2.0})
+    w.write_final_metrics({"recall@10": 0.31, "ndcg@10": 0.2})
+    w.close()
+
+    # W&B saw one log per epoch with the epoch as the step, plus finals
+    epoch_logs = [(s, p) for s, p in logged if s is not None]
+    assert [s for s, _ in epoch_logs] == [0, 1, 2]
+    assert all("train_loss" in p for _, p in epoch_logs)
+    final_logs = [p for s, p in logged if s is None]
+    assert final_logs and "final/recall@10" in final_logs[0]
+
+    # TB event files exist and contain the scalar tags
+    tb_dir = tmp_path / "tensorboard"
+    events = list(tb_dir.glob("events.out.tfevents.*"))
+    assert events, "no TensorBoard event file written"
+    # crude content check: the tag bytes appear in the event stream
+    blob = b"".join(p.read_bytes() for p in events)
+    assert b"train_loss" in blob and b"val_loss" in blob

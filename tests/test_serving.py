@@ -536,6 +536,41 @@ def test_exported_backend_serving(trained_service, tmp_path):
     assert "exported" in exp.get_model_info()["backend"]
 
 
+def test_exported_backend_rejects_stale_artifact(trained_service, tmp_path):
+    """An artifact exported from an older bundle must be refused when
+    the bundle is retrained/rebuilt (the artifact bakes in the old
+    weights + catalog; serving it against the new index.npz/model.npz
+    silently returns stale — or wrongly-mapped — results)."""
+    import os
+
+    from recsys_tpu.serve.export import export_retrieve
+    from recsys_tpu.serve.service import RecommendationService
+
+    svc, bundle = trained_service
+    path = str(tmp_path / "retrieve.hlo")
+    export_retrieve(svc.model_dir, path, k=5)
+    # simulate a retrain: perturb the bundle's encoder weights on disk
+    enc_path = os.path.join(svc.model_dir, "encoder.npz")
+    with open(enc_path, "rb") as f:
+        original_bytes = f.read()
+    enc = dict(np.load(enc_path, allow_pickle=False))
+    first = sorted(enc)[0]
+    enc[first] = enc[first] + 1e-3
+    np.savez(enc_path, **enc)
+    try:
+        with pytest.raises(ValueError, match="different bundle"):
+            RecommendationService(
+                svc.model_dir, backend="exported", exported_path=path
+            ).load()
+    finally:
+        with open(enc_path, "wb") as f:
+            f.write(original_bytes)
+    # restored bundle loads again
+    RecommendationService(
+        svc.model_dir, backend="exported", exported_path=path
+    ).load()
+
+
 def test_export_cli(trained_service, tmp_path):
     from scripts.export import main as export_main
 

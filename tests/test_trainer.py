@@ -304,3 +304,62 @@ def test_preemption_checkpoint_and_resume(tiny_bundle, tmp_path):
     rep2 = tr2.train(tiny_bundle)
     assert rep2.get("preempted") is None
     assert int(np.asarray(tr2.final_state.step)) >= step_at_preempt
+
+
+def test_ranking_lr_split():
+    """``learning_rate_ranking`` drives a separate LR for the ranking
+    stack (DCN + heads) while the retrieval side keeps the base LR —
+    the split the reference declares (src/config.py:28-29) but never
+    wires. Default None = single LR (the behavior the reference ran)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.config import TrainConfig
+    from recsys_tpu.train.optimizer import make_optimizer, ranking_lr_scale
+
+    assert ranking_lr_scale(TrainConfig()) is None  # default: off
+
+    cfg = TrainConfig(learning_rate=1e-3, learning_rate_ranking=1e-4,
+                      clipnorm=0.0, warmup_steps=0)
+    opt = make_optimizer(cfg)
+    params = {
+        "towers": {"user_table": jnp.ones((4, 2))},
+        "dcn": {"w": jnp.ones((3,))},
+        "rating_head": {"w": jnp.ones((3,))},
+        "ctr_head": {"b": jnp.ones(())},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = opt.init(params)
+    new_params, _ = opt.update(grads, state, params, jnp.zeros((), jnp.int32))
+    d_retr = float((params["towers"]["user_table"] - new_params["towers"]["user_table"])[0, 0])
+    d_rank = float((params["dcn"]["w"] - new_params["dcn"]["w"])[0])
+    # adagrad delta = lr*s*g/(sqrt(acc)+eps): the ratio of deltas IS the split
+    assert abs(d_rank / d_retr - 0.1) < 1e-3
+    d_head = float((params["rating_head"]["w"] - new_params["rating_head"]["w"])[0])
+    assert abs(d_head / d_retr - 0.1) < 1e-3
+
+
+def test_checkpoint_every_steps_streaming(tiny_bundle, tmp_path):
+    """``checkpoint_every_steps`` produces mid-epoch checkpoints on the
+    streaming data path (long-epoch safety against preemption)."""
+    from recsys_tpu.config import EvalConfig, ModelConfig, RecsysConfig, TrainConfig
+    from recsys_tpu.train.trainer import Trainer
+
+    cfg = RecsysConfig(
+        model=ModelConfig(embedding_dim=8, user_tower_dims=(16,),
+                          item_tower_dims=(16,), cross_layers=1,
+                          dnn_dims=(8,), dropout_rate=0.0,
+                          mixed_precision=False),
+        train=TrainConfig(batch_size=256, epochs=1,
+                          device_resident_data=False,
+                          checkpoint_every_steps=3,
+                          keep_checkpoints=100),
+        eval=EvalConfig(topk=(5,), eval_batch_size=256),
+    )
+    tr = Trainer(cfg, output_dir=str(tmp_path))
+    tr.train(tiny_bundle)
+    steps = tr.ckpt.all_steps()
+    # tiny_bundle train split ~3200 rows -> ~12 steps/epoch: cadence-3
+    # mid-epoch saves (3, 6, 9, 12) plus the end-of-epoch save
+    assert len(steps) >= 3, steps
+    assert any(s % 3 == 0 and s not in (0,) for s in steps)

@@ -1,0 +1,272 @@
+"""Explicit-SPMD train step (``Trainer._step_core_spmd``) on the forced
+8-device CPU mesh: the row-sharded psum/a2a embedding lookups running
+INSIDE the gradient step, and the per-replica vs global in-batch
+negative scope (SURVEY §2.3 "row-sharded embedding engine", §7.3;
+VERDICT r1 next-round items 1-2).
+
+Equivalence anchors:
+* every lookup strategy (xla/GSPMD, psum, a2a) must produce the same
+  trained parameters as the replicated-table baseline,
+* ``global_negatives=True`` must equal a single-device run on the full
+  concatenated batch (the GSPMD [B, B] semantics),
+* ``global_negatives=False`` must equal the mean of independent
+  per-shard losses/grads (the reference's tfrs Retrieval under
+  MirroredStrategy, ``/root/reference/src/models.py:116,137``).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recsys_tpu.config import (
+    EvalConfig, MeshConfig, ModelConfig, RecsysConfig, TrainConfig,
+)
+from recsys_tpu.models.multitask import MultiTaskModel
+from recsys_tpu.parallel.mesh import make_mesh
+from recsys_tpu.parallel.sharding import shard_batch
+from recsys_tpu.train.trainer import Trainer
+
+# vocab sizes chosen so rows(n)=n+1 is divisible by every model-axis
+# size used here (2 and 4): table shapes — and therefore the PRNG init
+# values — are identical between replicated and row-sharded runs
+N_USERS, N_ITEMS = 63, 127
+B = 64  # global batch
+
+
+def _cfg(model_parallel=1, sharding="replicated", lookup="xla",
+         global_negs=True, **train_over):
+    return RecsysConfig(
+        model=ModelConfig(
+            embedding_dim=16, cross_layers=1, dropout_rate=0.0,
+            mixed_precision=False,
+        ),
+        train=TrainConfig(
+            batch_size=B, global_negatives=global_negs,
+            **{"epochs": 1, **train_over},
+        ),
+        mesh=MeshConfig(
+            model_axis=model_parallel, embedding_sharding=sharding,
+            lookup_strategy=lookup,
+        ),
+        eval=EvalConfig(topk=(10,)),
+    )
+
+
+def _batches(n_steps, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_steps):
+        out.append({
+            "user_id": rng.integers(0, N_USERS, B).astype(np.int32),
+            "movie_id": rng.integers(0, N_ITEMS, B).astype(np.int32),
+            "rating": rng.uniform(1, 5, B).astype(np.float32),
+            "y_implicit": (rng.random(B) > 0.4).astype(np.float32),
+            "log_q": np.full(B, -np.log(N_ITEMS), np.float32),
+        })
+    return out
+
+
+def _train_steps(cfg, ctx, batches, use_explicit_negs=False):
+    trainer = Trainer(cfg, output_dir="/tmp/spmd_test", mesh_ctx=ctx)
+    state = trainer.init_state(N_USERS, N_ITEMS, seed=3)
+    trainer._state_for_shape = state
+    step = trainer.make_train_step(
+        class_weights=(1.25, 0.85), example_batch=batches[0],
+        use_explicit_negs=use_explicit_negs,
+    )
+    metrics = None
+    for b in batches:
+        state, metrics = step(state, shard_batch(ctx, b))
+    jax.block_until_ready(state.params)
+    return jax.device_get(state.params), jax.device_get(metrics)
+
+
+def _tree_close(a, b, rtol=2e-4, atol=2e-5, what=""):
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = jax.tree.leaves(b)
+    for (path, la), lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=rtol, atol=atol,
+            err_msg=f"{what}: leaf {jax.tree_util.keystr(path)} diverged",
+        )
+
+
+@pytest.fixture(scope="module")
+def batches():
+    return _batches(n_steps=3)
+
+
+@pytest.fixture(scope="module")
+def baseline(batches):
+    """Replicated tables, pure-DP GSPMD step on all 8 devices."""
+    ctx = make_mesh(model_parallel=1)
+    return _train_steps(_cfg(), ctx, batches)
+
+
+@pytest.mark.parametrize("strategy", ["xla", "psum", "a2a"])
+def test_rows_lookup_strategies_match_replicated(strategy, batches, baseline):
+    """Three steps of training with row-sharded tables read through each
+    lookup strategy — the GSPMD-partitioned gather and the explicit
+    shard_map psum / all-to-all bodies — must land on the same params as
+    the replicated baseline (same init: table shapes are unchanged by
+    the rows padding at these vocab sizes)."""
+    ctx = make_mesh(model_parallel=2)
+    assert ctx.n_data == 4 and ctx.n_model == 2
+    cfg = _cfg(model_parallel=2, sharding="rows", lookup=strategy)
+    params, metrics = _train_steps(cfg, ctx, batches)
+    base_params, base_metrics = baseline
+    _tree_close(params, base_params, what=f"lookup={strategy}")
+    np.testing.assert_allclose(
+        metrics["loss"], base_metrics["loss"], rtol=1e-4)
+    if strategy == "a2a":
+        # uniform ids with capacity_factor=2 headroom: no overflow
+        assert float(metrics["lookup_overflow"]) == 0.0
+
+
+def test_rows_model4_a2a_matches_replicated(batches, baseline):
+    """Same equivalence at model=4 (data=2): exercises >2-way bucketing
+    in the all-to-all exchange."""
+    ctx = make_mesh(model_parallel=4)
+    cfg = _cfg(model_parallel=4, sharding="rows", lookup="a2a")
+    params, _ = _train_steps(cfg, ctx, batches)
+    _tree_close(params, baseline[0], what="model=4 a2a")
+
+
+def test_global_negatives_match_single_device_concat(batches):
+    """The SPMD step with ``global_negatives=True`` computes the same
+    loss as one device seeing the full concatenated batch (VERDICT r1
+    item 2's equivalence requirement). Routed through the explicit
+    shard_map path by using the psum lookup."""
+    ctx = make_mesh(model_parallel=2)
+    cfg = _cfg(model_parallel=2, sharding="rows", lookup="psum")
+    _, metrics = _train_steps(cfg, ctx, batches[:1])
+
+    params0 = MultiTaskModel.init(
+        jax.random.PRNGKey(3), cfg.model, N_USERS, N_ITEMS, 2
+    )
+    loss_1dev, _ = MultiTaskModel.loss(
+        params0, cfg.model,
+        {k: jnp.asarray(v) for k, v in batches[0].items()},
+        train=True, class_weights=(1.25, 0.85),
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(loss_1dev), rtol=1e-5)
+
+
+def test_per_replica_negatives_semantics(batches):
+    """``global_negatives=False`` under data parallelism: the retrieval
+    softmax runs per-replica over each [B_local, B_local] block (exact
+    MirroredStrategy parity: every replica's tfrs Retrieval sees only
+    its local batch), while the rating MSE and the class-weighted CTR
+    BCE keep their GLOBAL-batch normalization (the objective must not
+    change with the DP layout — only the negatives scope is the knob).
+    One optimizer step must equal the manual composed reference."""
+    ctx = make_mesh(model_parallel=1)
+    n_data = ctx.n_data
+    cfg = _cfg(global_negs=False)
+    trainer = Trainer(cfg, output_dir="/tmp/spmd_test_pr", mesh_ctx=ctx)
+    assert trainer._use_spmd_step()
+    state = trainer.init_state(N_USERS, N_ITEMS, seed=3)
+    trainer._state_for_shape = state
+    step = trainer.make_train_step(
+        class_weights=(1.25, 0.85), example_batch=batches[0],
+        use_explicit_negs=False,
+    )
+    params0 = jax.device_get(state.params)
+    opt_state0 = jax.device_get(state.opt_state)  # step() donates state
+    new_state, metrics = step(state, shard_batch(ctx, batches[0]))
+
+    # manual reference: full-batch loss, with its global-retrieval term
+    # swapped for the mean of per-shard local-block retrieval losses
+    b_local = B // n_data
+    full = {k: jnp.asarray(v) for k, v in batches[0].items()}
+
+    def composed(params):
+        l_full, m_full = MultiTaskModel.loss(
+            params, cfg.model, full, train=True,
+            class_weights=(1.25, 0.85),
+        )
+        retr_local = 0.0
+        for s in range(n_data):
+            sl = slice(s * b_local, (s + 1) * b_local)
+            local = {k: v[sl] for k, v in full.items()}
+            _, m_s = MultiTaskModel.loss(
+                params, cfg.model, local, train=True,
+                class_weights=(1.25, 0.85),
+            )
+            retr_local = retr_local + m_s["retrieval_loss"] / n_data
+        return l_full + cfg.model.retrieval_weight * (
+            retr_local - m_full["retrieval_loss"]
+        )
+
+    loss_manual, grads = jax.value_and_grad(composed)(params0)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(loss_manual), rtol=1e-5)
+
+    exp_params, _ = trainer.optimizer.update(
+        grads, opt_state0, params0, jnp.zeros((), jnp.int32),
+    )
+    _tree_close(jax.device_get(new_state.params), exp_params,
+                rtol=1e-5, atol=1e-6, what="per-replica step")
+
+    # and it differs from the global-negatives loss (different candidate
+    # scope -> smaller logsumexp), so the flag demonstrably does something
+    ctx_g = make_mesh(model_parallel=1)
+    _, m_glob = _train_steps(_cfg(), ctx_g, batches[:1])
+    assert abs(float(metrics["loss"]) - float(m_glob["loss"])) > 1e-3
+
+
+def test_a2a_overflow_counter_and_survival():
+    """A pathologically skewed batch (every id owned by shard 0) with a
+    tight capacity factor must overflow the fixed a2a buckets — the
+    overflowing ids are served zero rows, the step stays finite, and the
+    ``lookup_overflow`` metric reports the spill (the observable that
+    tells an operator to raise ``lookup_capacity_factor``)."""
+    ctx = make_mesh(model_parallel=4)
+    cfg = _cfg(model_parallel=4, sharding="rows", lookup="a2a")
+    cfg = cfg.replace(**{"mesh.lookup_capacity_factor": 1.0})
+    skewed = _batches(1)[0]
+    skewed["user_id"][:] = 0
+    skewed["movie_id"][:] = np.arange(B) % 8  # all on item shard 0
+    _, metrics = _train_steps(cfg, ctx, [skewed])
+    assert float(metrics["lookup_overflow"]) > 0
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_spmd_step_with_explicit_negatives(batches):
+    """The explicit-negatives path ([B, K] ids through the a2a lookup's
+    flattened reshape) composes with the SPMD step."""
+    ctx = make_mesh(model_parallel=2)
+    cfg = _cfg(model_parallel=2, sharding="rows", lookup="a2a")
+    rng = np.random.default_rng(5)
+    withneg = [
+        {**b, "neg_ids": rng.integers(0, N_ITEMS, (B, 4)).astype(np.int32)}
+        for b in batches[:2]
+    ]
+    params, metrics = _train_steps(cfg, ctx, withneg, use_explicit_negs=True)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # replicated-path equivalence holds with the negatives too
+    ctx_r = make_mesh(model_parallel=1)
+    base_params, _ = _train_steps(_cfg(), ctx_r, withneg,
+                                  use_explicit_negs=True)
+    _tree_close(params, base_params, what="explicit negs a2a")
+
+
+def test_trainer_end_to_end_rows_a2a(tiny_bundle, tmp_path):
+    """Full Trainer.train epoch loop (device-resident lax.scan path) on
+    the 8-device mesh with row-sharded tables + a2a lookup + global
+    negatives: the flagship multi-chip configuration runs end-to-end,
+    reports finite losses, and exports a servable bundle."""
+    cfg = _cfg(model_parallel=2, sharding="rows", lookup="a2a",
+               epochs=2, eval_every_epochs=0)
+    cfg = dataclasses.replace(
+        cfg, eval=EvalConfig(topk=(5,), eval_sample=0))
+    ctx = make_mesh(model_parallel=2)
+    trainer = Trainer(cfg, output_dir=str(tmp_path), mesh_ctx=ctx)
+    report = trainer.train(tiny_bundle)
+    assert np.isfinite(report["recall@5"])
+    assert (tmp_path / "serving" / "encoder.npz").exists()
