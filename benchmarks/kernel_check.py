@@ -122,5 +122,110 @@ def main() -> int:
     return 1 if failures else 0
 
 
+def time_kernels(out_path: str = None) -> int:
+    """Timing sweep: flash-CE Pallas kernel vs the XLA in-batch softmax
+    (f32 and bf16 logits), loss+grad (the train-step-relevant shape), at
+    growing batch; fused DCN vs the XLA recurrence. Establishes WHERE
+    each Pallas kernel is the best path (VERDICT r1 weak #5) — results
+    committed to ``benchmarks/results/kernels_tpu.json``."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.models import losses as L
+    from recsys_tpu.ops.pallas.flash_ce import in_batch_softmax_flash
+
+    rng = np.random.default_rng(0)
+    platform = jax.devices()[0].platform
+    results = {"platform": platform, "flash_ce": [], "dcn": []}
+
+    def bench(fn, *args, iters=20):
+        fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else \
+            jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+    dim = 128
+    for bsz in (8192, 16384, 32768, 65536):
+        u = jnp.asarray(rng.normal(size=(bsz, dim)).astype(np.float32) * 0.2)
+        v = jnp.asarray(rng.normal(size=(bsz, dim)).astype(np.float32) * 0.2)
+        ids = jnp.asarray(rng.integers(0, bsz, bsz).astype(np.int32))
+
+        def make(loss_fn):
+            @jax.jit
+            def f(u, v):
+                return jax.grad(
+                    lambda a, b: loss_fn(a, b), argnums=(0, 1)
+                )(u, v)
+            return f
+
+        row = {"batch": bsz, "dim": dim}
+        variants = {
+            "xla_f32": make(lambda a, b: L.in_batch_softmax(a, b, item_ids=ids)),
+            "xla_bf16": make(lambda a, b: L.in_batch_softmax(
+                a, b, item_ids=ids, logits_dtype=jnp.bfloat16)),
+            "flash_pallas": make(lambda a, b: in_batch_softmax_flash(
+                a, b, item_ids=ids)),
+        }
+        for name, f in variants.items():
+            try:
+                row[f"{name}_ms"] = round(bench(f, u, v), 3)
+            except Exception as e:  # OOM at large B is a RESULT here
+                row[f"{name}_ms"] = None
+                row[f"{name}_error"] = type(e).__name__
+        best = min((v, k) for k, v in row.items()
+                   if k.endswith("_ms") and v is not None)
+        row["best"] = best[1][:-3]
+        results["flash_ce"].append(row)
+        print(json.dumps(row))
+
+    from recsys_tpu.ops.pallas.dcn_cross import (
+        dcn_cross_fused, dcn_cross_reference,
+    )
+
+    for n, d, layers in ((4096, 256, 3), (16384, 256, 3), (65536, 512, 4)):
+        x0 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32) * 0.3)
+        w = jnp.asarray(rng.normal(size=(layers, d)).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.normal(size=(layers, d)).astype(np.float32) * 0.1)
+        g = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+        def make_d(fn):
+            @jax.jit
+            def f(x0, w, b):
+                return jax.grad(
+                    lambda *a: jnp.sum(fn(*a) * g), argnums=(0, 1, 2)
+                )(x0, w, b)
+            return f
+
+        row = {"rows": n, "dim": d, "layers": layers}
+        for name, fn in (("xla", dcn_cross_reference),
+                         ("pallas_fused", dcn_cross_fused)):
+            try:
+                row[f"{name}_ms"] = round(bench(make_d(fn), x0, w, b), 3)
+            except Exception as e:
+                row[f"{name}_ms"] = None
+                row[f"{name}_error"] = type(e).__name__
+        cands = [(v, k) for k, v in row.items()
+                 if k.endswith("_ms") and v is not None]
+        row["best"] = min(cands)[1][:-3] if cands else "none"
+        results["dcn"].append(row)
+        print(json.dumps(row))
+
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out_path}")
+    return 0
+
+
 if __name__ == "__main__":
+    if "--time" in sys.argv:
+        out = None
+        if "--out" in sys.argv:
+            out = sys.argv[sys.argv.index("--out") + 1]
+        sys.exit(time_kernels(out))
     sys.exit(main())

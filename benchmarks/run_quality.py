@@ -72,7 +72,11 @@ def run_one(name: str, spec: dict, bundle) -> dict:
                           learning_rate=spec["lr"], optimizer="adam",
                           lr_decay_steps=100_000, early_stop_patience=6,
                           early_stop_metric="val_recall@10",
-                          eval_every_epochs=3, keep_checkpoints=1),
+                          eval_every_epochs=3, keep_checkpoints=1,
+                          # replica-desync detector every 2 epochs: a
+                          # no-op on one chip (n_data == 1), live on any
+                          # data-parallel run of these same configs
+                          replication_check_every_epochs=2),
         eval=EvalConfig(topk=(5, 10, 20, 50), eval_batch_size=8192,
                         filter_seen=True, score_norm="dot"),
     )

@@ -70,14 +70,21 @@ class ModelConfig:
     # speeds up factorization learning under in-batch softmax.
     tower_residual: bool = True
     # run the DCN cross stack through the fused Pallas kernel
-    # (ops/pallas/dcn_cross.py). Equivalence-tested vs the XLA path;
-    # interpret-mode on CPU.
+    # (ops/pallas/dcn_cross.py). A REFERENCE kernel: XLA's own fusion of
+    # the rank-1 recurrence is faster at every measured shape (v5e,
+    # benchmarks/results/kernels_tpu.json: 1.26 vs 1.32 ms at 4k x 256
+    # up to 3.56 vs 3.94 ms at 64k x 512) — keep False except to study
+    # the kernel. Equivalence-tested vs the XLA path; interpret on CPU.
     use_pallas_dcn: bool = False
     # run the retrieval loss through the flash sampled-softmax Pallas
     # kernel (ops/pallas/flash_ce.py): never materializes [B, B] logits
-    # in HBM. ~17% faster backward at B=16k and the only way to train
-    # B>=64k in-batch softmax on one chip; compile time over a remote
-    # TPU is long, so off by default.
+    # in HBM. Measured regime map (v5e, dim 128, loss+grad — see
+    # benchmarks/results/kernels_tpu.json): through B=64k the XLA
+    # bf16-logits path wins (bf16_retrieval_logits above), so this stays
+    # False; at B>=128k NO logits matrix fits 16 GB HBM at any dtype and
+    # flash is the best (and only fast) path — 383 ms/step vs 569 ms for
+    # the jax.checkpoint chunked-scan XLA fallback (1.49x). Turn on for
+    # B>=128k single-chip in-batch softmax.
     use_flash_ce: bool = False
     # Width of the engineered dense-feature vector concatenated into the
     # DCN ranking input (x0 = [user_emb | item_emb | dense]). 0 = ids

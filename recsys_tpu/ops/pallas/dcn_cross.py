@@ -15,8 +15,11 @@ hand-derived VJP:
     dx0     += sum_l g_{l+1} * s_l        (accumulated across layers)
     g_l      = g_{l+1} + t_l * w_l        (carried down)
 
-XLA reference path: ``recsys_tpu.models.dcn.DeepCrossNetwork`` (the two
-are equivalence-tested in ``tests/test_pallas.py``).
+XLA reference path: ``recsys_tpu.models.dcn.DeepCrossNetwork``. The two
+are equivalence-tested in ``tests/test_ops.py`` (interpret mode on the
+CPU CI mesh) and compiled-for-real by ``benchmarks/kernel_check.py`` —
+run on hardware via ``RECSYS_TPU_KERNEL_TEST=1 pytest
+tests/test_ops.py::test_kernels_compiled_on_accelerator``.
 """
 
 from __future__ import annotations

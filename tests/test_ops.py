@@ -206,3 +206,31 @@ def test_int8_refine_recovers_exact_topk():
     overlap = np.mean([len(set(i_r[r]) & set(i[r])) / 10 for r in range(8)])
     assert overlap >= 0.99
     assert np.allclose(s_r, s, atol=1e-5)
+
+
+import os as _os
+import subprocess as _subprocess
+import sys as _sys
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    _os.environ.get("RECSYS_TPU_KERNEL_TEST") != "1",
+    reason="compiled-kernel hardware check: set RECSYS_TPU_KERNEL_TEST=1 "
+           "with an accelerator attached (CI runs the kernels in "
+           "interpret mode on the CPU mesh only)",
+)
+def test_kernels_compiled_on_accelerator():
+    """Runs benchmarks/kernel_check.py in a FRESH process (so the
+    conftest's forced-CPU platform doesn't apply) — the real Mosaic
+    lowerings of every Pallas kernel, checked against the XLA paths on
+    whatever accelerator is live."""
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = {k: v for k, v in _os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = _subprocess.run(
+        [_sys.executable, _os.path.join(repo, "benchmarks", "kernel_check.py")],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
