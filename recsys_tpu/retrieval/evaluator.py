@@ -48,8 +48,28 @@ class SeenIndex:
         order = np.lexsort((i, u))
         self.n_items = int(n_items)
         self.keys = u[order] * self.n_items + i[order]  # sorted
+        # CSR view for per-batch mask building (items sorted within user)
+        self.items = i[order].astype(np.int32)
         counts = np.bincount(u, minlength=n_users)
+        self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.max_seen = int(counts.max()) if len(counts) else 0
+
+    def batch_mask(self, user_ids: np.ndarray) -> np.ndarray:
+        """Dense bool mask [B, n_items] for ONE batch of users, built
+        from the CSR lists — O(B * n_items) transient memory, never the
+        O(n_users * n_items) global mask. The fast filtering mode for
+        small/medium catalogs where ``k + max_seen`` would make the
+        over-retrieve ``lax.top_k`` the bottleneck (top-k cost grows
+        with k; at MovieLens density max_seen ~ half the catalog)."""
+        users = np.asarray(user_ids, np.int64)
+        mask = np.zeros((len(users), self.n_items), bool)
+        # one scatter per UNIQUE user, applied to all its rows at once
+        uniq, inv = np.unique(users, return_inverse=True)
+        for j, u in enumerate(uniq):
+            su = self.items[self.indptr[u]:self.indptr[u + 1]]
+            if len(su):
+                mask[np.nonzero(inv == j)[0][:, None], su] = True
+        return mask
 
     def contains(self, user_ids: np.ndarray, item_ids: np.ndarray) -> np.ndarray:
         """Elementwise membership test, any matching shapes
@@ -73,6 +93,49 @@ class SeenIndex:
         if cand_scores is None:
             return ids
         return ids, np.take_along_axis(cand_scores, order, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "normalize"))
+def _topk_batch_masked(user_emb, item_embs, mask, k: int,
+                       normalize: bool = True, item_bias=None):
+    """Top-k with a per-BATCH [B, n_items] seen mask (not the global
+    [n_users, n_items] one) — keeps ``k`` small so ``lax.top_k`` stays
+    cheap; the mask is O(B*N) transient, built per batch on host."""
+    from recsys_tpu.retrieval.scorer import l2_normalize
+
+    u, v = user_emb, item_embs
+    if normalize:
+        u = l2_normalize(u)
+        v = l2_normalize(v)
+    scores = jnp.dot(u, v.T, preferred_element_type=jnp.float32)
+    if item_bias is not None:
+        scores = scores + item_bias[None, :]
+    scores = jnp.where(mask, -1e30, scores)
+    return jax.lax.top_k(scores, k)
+
+
+# per-batch-mask vs over-retrieve crossover: below this B*N the dense
+# per-batch mask (32 MB at 8192 x 4k items) plus a small-k top_k beats
+# an over-retrieved top_k whose k grows by max_seen (lax.top_k cost
+# scales with k; at MovieLens density max_seen is ~half the catalog)
+_BATCH_MASK_LIMIT = 1 << 29  # 512M elements ≈ 512 MB bool
+
+
+def _filtered_topk(u_emb, item_embs, u_ids, seen_index, k, bs, n_items,
+                   use_cosine, item_bias):
+    if bs * n_items <= _BATCH_MASK_LIMIT:
+        mask = jnp.asarray(seen_index.batch_mask(u_ids))
+        _, top = _topk_batch_masked(
+            u_emb, item_embs, mask, k, normalize=use_cosine,
+            item_bias=item_bias,
+        )
+        return np.asarray(top)
+    retrieve_k = min(k + seen_index.max_seen, n_items)
+    _, cand = topk_scores(
+        u_emb, item_embs, retrieve_k, normalize=use_cosine,
+        item_bias=item_bias,
+    )
+    return seen_index.filter_topk(u_ids, np.asarray(cand), k)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -139,11 +202,6 @@ def evaluate(
             np.asarray(params["towers"]["item_bias"])[:n_items]
         )
     max_k = max(eval_cfg.topk)
-    # over-retrieve so k unseen candidates survive the post-filter
-    retrieve_k = max_k
-    if seen_index is not None:
-        retrieve_k = min(max_k + seen_index.max_seen, n_items)
-
     bs = eval_cfg.eval_batch_size
     n = len(uid)
     preds_list, rat_list, ctr_list = [], [], []
@@ -154,13 +212,17 @@ def evaluate(
         u_ids = np.concatenate([uid[lo:hi], np.zeros(pad, uid.dtype)])
         m_ids = np.concatenate([mid[lo:hi], np.zeros(pad, mid.dtype)])
         u_emb = _user_embs(params["towers"], cfg, jnp.asarray(u_ids))
-        _, top_ids = topk_scores(
-            u_emb, item_embs, retrieve_k, normalize=use_cosine,
-            item_bias=item_bias,
-        )
-        top_ids = np.asarray(top_ids)
-        if seen_index is not None:
-            top_ids = seen_index.filter_topk(u_ids, top_ids, max_k)
+        if seen_index is None:
+            _, top_ids = topk_scores(
+                u_emb, item_embs, max_k, normalize=use_cosine,
+                item_bias=item_bias,
+            )
+            top_ids = np.asarray(top_ids)
+        else:
+            top_ids = _filtered_topk(
+                u_emb, item_embs, u_ids, seen_index, max_k, bs, n_items,
+                use_cosine, item_bias,
+            )
         d_rows = None
         if dense is not None:
             d_rows = jnp.asarray(np.concatenate(
@@ -228,15 +290,26 @@ def two_stage_evaluate(
     seen_index = SeenIndex(
         bundle["train/user_id"], bundle["train/movie_id"], n_users, n_items
     )
+    bs = 2048
+    use_batch_mask = bs * n_items <= _BATCH_MASK_LIMIT
     retrieve_k = min(n_cand + seen_index.max_seen, n_items)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def retrieve(u_ids):
-        u_emb = TwoTower.user_embed(params["towers"], u_ids, cfg)
-        return topk_scores(
+    def retrieve(chunk_np):
+        u_emb = _user_embs(params["towers"], cfg, jnp.asarray(chunk_np))
+        if use_batch_mask:
+            mask = jnp.asarray(seen_index.batch_mask(chunk_np))
+            return _topk_batch_masked(
+                u_emb, item_embs, mask, n_cand, normalize=False,
+                item_bias=item_bias,
+            )
+        scores, cand = topk_scores(
             u_emb, item_embs, retrieve_k, normalize=False,
             item_bias=item_bias,
         )
+        ids, sc = seen_index.filter_topk(
+            chunk_np, np.asarray(cand), n_cand, np.asarray(scores)
+        )
+        return jnp.asarray(sc), jnp.asarray(ids)
 
     @jax.jit
     def rerank(u_ids, cand_scores, cand, dense):
@@ -249,17 +322,12 @@ def two_stage_evaluate(
         return jnp.take_along_axis(cand, order, axis=1)
 
     preds = []
-    bs = 2048
     for lo in range(0, len(uid), bs):
         chunk, ts_chunk = uid[lo : lo + bs], ts[lo : lo + bs]
         pad = bs - len(chunk)
         chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
         ts_chunk = np.concatenate([ts_chunk, np.zeros(pad)])
-        cand_scores, cand = retrieve(jnp.asarray(chunk))
-        cand, cand_scores = seen_index.filter_topk(
-            chunk, np.asarray(cand), n_cand, np.asarray(cand_scores)
-        )
-        cand, cand_scores = jnp.asarray(cand), jnp.asarray(cand_scores)
+        cand_scores, cand = retrieve(chunk)
         dense = None
         if cfg.dense_features > 0:
             flat_u = np.repeat(chunk, n_cand)

@@ -139,3 +139,28 @@ def test_seen_index_scales_without_dense_mask():
     # unseen candidates kept in original order
     row = cands[0][~idx.contains(np.full(kp, users[0]), cands[0])][:k]
     np.testing.assert_array_equal(out[0], row)
+
+
+def test_filter_modes_agree(tiny_bundle, params, monkeypatch):
+    """The two seen-filter implementations — per-batch device mask
+    (small-catalog fast path) and over-retrieve-then-CSR-filter
+    (huge-catalog path) — must produce identical top-k lists."""
+    import jax.numpy as jnp
+
+    import recsys_tpu.retrieval.evaluator as ev
+    from recsys_tpu.models.towers import TwoTower
+    from recsys_tpu.retrieval.scorer import materialize_item_embeddings
+
+    n_users = int(tiny_bundle["meta/n_users"])
+    n_items = int(tiny_bundle["meta/n_movies"])
+    idx = ev.SeenIndex(tiny_bundle["train/user_id"],
+                       tiny_bundle["train/movie_id"], n_users, n_items)
+    item_embs = materialize_item_embeddings(params["towers"], CFG, n_items)
+    uids = np.arange(32)
+    u_emb = TwoTower.user_embed(params["towers"], jnp.asarray(uids), CFG)
+
+    args = (u_emb, item_embs, uids, idx, 10, 32, n_items, True, None)
+    fast = ev._filtered_topk(*args)
+    monkeypatch.setattr(ev, "_BATCH_MASK_LIMIT", 0)  # force over-retrieve
+    slow = ev._filtered_topk(*args)
+    np.testing.assert_array_equal(fast, slow)
