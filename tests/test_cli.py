@@ -95,3 +95,37 @@ def test_evaluate_cli(raw_dir, tmp_path, capsys):
         assert key in report, key
         assert np.isfinite(report[key])
     assert report["split"] == "test"
+
+
+def test_train_cli_spmd_flags(raw_dir, tmp_path):
+    """The round-2 mesh flags end-to-end through the CLI: row-sharded
+    tables read through the a2a lookup inside the train step, plus
+    --per_replica_negatives (reference-parity negative scope) and
+    --use_side_features (external feature merge) parse and train."""
+    from scripts.preprocess import main as preprocess_main
+    from scripts.train import main as train_main
+
+    bundle_path = str(tmp_path / "b.npz")
+    preprocess_main(["--data_dir", raw_dir, "--output", bundle_path,
+                     "--synthetic_ratings", "1500"])
+    out_dir = str(tmp_path / "spmd_model")
+    rc = train_main([
+        "--data", bundle_path, "--output_dir", out_dir,
+        "--embedding_dim", "8", "--batch_size", "128", "--epochs", "1",
+        "--no-bf16", "--model_parallel", "2",
+        "--embedding_sharding", "rows", "--lookup_strategy", "a2a",
+        "--per_replica_negatives",
+        "--use_dense_features", "--use_side_features",
+    ])
+    assert rc == 0
+    cfg = json.load(open(os.path.join(out_dir, "config.json")))
+    assert cfg["mesh"]["lookup_strategy"] == "a2a"
+    assert cfg["train"]["global_negatives"] is False
+    metrics = json.load(open(os.path.join(out_dir, "metrics.json")))
+    assert "recall@10" in metrics
+    # side features made it into the served feature state
+    import numpy as np
+
+    feats = np.load(os.path.join(out_dir, "serving", "features.npz"),
+                    allow_pickle=False)
+    assert "user_side" in feats
