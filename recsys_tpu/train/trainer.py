@@ -211,14 +211,14 @@ class Trainer:
         cfg = self.config
         opt = self.optimizer
         if self._use_spmd_step():
-            if self._resolve_sparse_updates() and cfg.train.optimizer == "adagrad":
-                logger.info(
-                    "sparse_table_updates bypassed: the explicit SPMD "
-                    "step (lookup_strategy=%s, global_negatives=%s) "
-                    "owns the table gradient path",
-                    cfg.mesh.lookup_strategy, cfg.train.global_negatives,
-                )
-            return self._step_core_spmd(class_weights, use_explicit_negs)
+            sparse = (
+                self._resolve_sparse_updates()
+                and cfg.train.optimizer == "adagrad"
+                and not use_explicit_negs
+            )
+            return self._step_core_spmd(
+                class_weights, use_explicit_negs, sparse=sparse
+            )
         if (
             self._resolve_sparse_updates()
             and cfg.train.optimizer == "adagrad"
@@ -251,21 +251,18 @@ class Trainer:
 
     _TABLE_KEYS = ("user_table", "item_table", "item_bias")
 
-    def _step_core_sparse(self, class_weights):
-        """Sparse-embedding-update train step
-        (``TrainConfig.sparse_table_updates``).
-
-        The batch's table rows are gathered up front and spliced into a
-        *virtual* params tree (tables of exactly B rows, ids remapped to
-        ``arange(B)`` with the true ids carried via ``mask_ids`` for
-        accidental-hit masking), so autodiff produces per-occurrence
-        [B, D] row gradients instead of a dense [V, D] scatter.
-        Duplicates are then combined (dense scatter-add semantics),
-        global-norm clipping is computed over dense grads + combined
-        row grads (identical value to the dense path — untouched rows
-        contribute zero), dense params go through plain adagrad, and
-        tables/accumulators get touched-rows-only updates. Numerically
-        equivalent to the dense step; O(B·D) instead of O(V·D)."""
+    def _sparse_apply(self, state: TrainState, grads_virtual,
+                      uid, mid, bid) -> tuple[Any, Any]:
+        """Shared tail of the sparse-update train steps: take a gradient
+        tree whose ``towers.{user_table,item_table,item_bias}`` leaves
+        are PER-OCCURRENCE row gradients ([B, D] / [B], aligned with
+        ``uid``/``mid``/``bid``) and every other leaf a dense gradient,
+        and produce ``(new_params, new_opt)`` with dense-scatter-add
+        semantics: duplicates combined, global-norm clipping over dense
+        grads + combined rows (identical value to the dense path —
+        untouched rows contribute zero), plain adagrad on dense leaves,
+        touched-rows-only adagrad on the tables. Runs under the
+        enclosing jit, so sharded tables get partitioned scatters."""
         from recsys_tpu.train import optimizer as opt_lib
 
         cfg = self.config
@@ -279,6 +276,81 @@ class Trainer:
         )
         clipnorm = cfg.train.clipnorm
         keys = self._TABLE_KEYS
+        params = state.params
+        tw = params["towers"]
+        gtw = grads_virtual["towers"]
+        comb = {
+            "user_table": opt_lib.combine_duplicate_rows(
+                uid, gtw["user_table"]
+            ),
+            "item_table": opt_lib.combine_duplicate_rows(
+                mid, gtw["item_table"]
+            ),
+            "item_bias": opt_lib.combine_duplicate_rows(
+                bid, gtw["item_bias"]
+            ),
+        }
+        dense_grads = {
+            **grads_virtual,
+            "towers": {k: v for k, v in gtw.items() if k not in keys},
+        }
+        if clipnorm > 0:
+            sq = sum(
+                jnp.sum(jnp.square(g))
+                for g in jax.tree.leaves(dense_grads)
+            )
+            sq += sum(jnp.sum(jnp.square(c[1])) for c in comb.values())
+            scale = jnp.minimum(
+                1.0, clipnorm / jnp.maximum(jnp.sqrt(sq), 1e-12)
+            )
+        else:
+            scale = jnp.float32(1.0)
+        dense_grads = jax.tree.map(lambda g: g * scale, dense_grads)
+
+        dense_params = {
+            **params,
+            "towers": {k: v for k, v in tw.items() if k not in keys},
+        }
+        acc = state.opt_state["accum"]
+        dense_acc = {
+            **acc,
+            "towers": {
+                k: v for k, v in acc["towers"].items() if k not in keys
+            },
+        }
+        new_dense, new_dense_opt = noclip.update(
+            dense_grads,
+            {"accum": dense_acc},
+            dense_params,
+            state.step,
+        )
+        lr = sched(state.step)
+        new_tw = dict(new_dense["towers"])
+        new_acc_tw = dict(new_dense_opt["accum"]["towers"])
+        for k in keys:
+            slot, c, valid = comb[k]
+            new_tw[k], new_acc_tw[k] = opt_lib.sparse_adagrad_combined(
+                tw[k], acc["towers"][k], slot, c, valid, lr,
+                grad_scale=scale,
+            )
+        new_params = {**new_dense, "towers": new_tw}
+        new_opt = {
+            "accum": {**new_dense_opt["accum"], "towers": new_acc_tw}
+        }
+        return new_params, new_opt
+
+    def _step_core_sparse(self, class_weights):
+        """Sparse-embedding-update train step
+        (``TrainConfig.sparse_table_updates``).
+
+        The batch's table rows are gathered up front and spliced into a
+        *virtual* params tree (tables of exactly B rows, ids remapped to
+        ``arange(B)`` with the true ids carried via ``mask_ids`` for
+        accidental-hit masking), so autodiff produces per-occurrence
+        [B, D] row gradients instead of a dense [V, D] scatter; the
+        update tail is :meth:`_sparse_apply`. Numerically equivalent to
+        the dense step; O(B·D) instead of O(V·D)."""
+        cfg = self.config
 
         def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
             rng = _dropout_key(
@@ -313,65 +385,9 @@ class Trainer:
                 train=True,
                 class_weights=class_weights,
             )
-            gtw = grads["towers"]
-            comb = {
-                "user_table": opt_lib.combine_duplicate_rows(
-                    uid, gtw["user_table"]
-                ),
-                "item_table": opt_lib.combine_duplicate_rows(
-                    mid, gtw["item_table"]
-                ),
-                "item_bias": opt_lib.combine_duplicate_rows(
-                    bid, gtw["item_bias"]
-                ),
-            }
-            dense_grads = {
-                **grads,
-                "towers": {k: v for k, v in gtw.items() if k not in keys},
-            }
-            if clipnorm > 0:
-                sq = sum(
-                    jnp.sum(jnp.square(g))
-                    for g in jax.tree.leaves(dense_grads)
-                )
-                sq += sum(jnp.sum(jnp.square(c[1])) for c in comb.values())
-                scale = jnp.minimum(
-                    1.0, clipnorm / jnp.maximum(jnp.sqrt(sq), 1e-12)
-                )
-            else:
-                scale = jnp.float32(1.0)
-            dense_grads = jax.tree.map(lambda g: g * scale, dense_grads)
-
-            dense_params = {
-                **params,
-                "towers": {k: v for k, v in tw.items() if k not in keys},
-            }
-            acc = state.opt_state["accum"]
-            dense_acc = {
-                **acc,
-                "towers": {
-                    k: v for k, v in acc["towers"].items() if k not in keys
-                },
-            }
-            new_dense, new_dense_opt = noclip.update(
-                dense_grads,
-                {"accum": dense_acc},
-                dense_params,
-                state.step,
+            new_params, new_opt = self._sparse_apply(
+                state, grads, uid, mid, bid
             )
-            lr = sched(state.step)
-            new_tw = dict(new_dense["towers"])
-            new_acc_tw = dict(new_dense_opt["accum"]["towers"])
-            for k in keys:
-                slot, c, valid = comb[k]
-                new_tw[k], new_acc_tw[k] = opt_lib.sparse_adagrad_combined(
-                    tw[k], acc["towers"][k], slot, c, valid, lr,
-                    grad_scale=scale,
-                )
-            new_params = {**new_dense, "towers": new_tw}
-            new_opt = {
-                "accum": {**new_dense_opt["accum"], "towers": new_acc_tw}
-            }
             return (
                 TrainState(new_params, new_opt, state.step + 1, state.rng),
                 metrics,
@@ -379,7 +395,8 @@ class Trainer:
 
         return step_fn
 
-    def _step_core_spmd(self, class_weights, use_explicit_negs: bool):
+    def _step_core_spmd(self, class_weights, use_explicit_negs: bool,
+                        sparse: bool = False):
         """Explicit-SPMD train step: forward/backward run inside a
         ``shard_map`` over the (data, model) mesh, so
 
@@ -489,46 +506,101 @@ class Trainer:
                     return lookup_psum_inside(table_shard, ids, ctx.model_axis)
 
             neg_ids = batch.pop("neg_ids") if use_explicit_negs else None
+            loss_params, loss_batch, loss_lookup = params, batch, lookup
+            if sparse:
+                # virtual-rows trick inside the SPMD body: gather the
+                # batch's rows THROUGH the collective lookup (values
+                # only — stop_gradient), splice them in as [B_local, D]
+                # leaves, and differentiate those. Autodiff then never
+                # produces a dense [V_shard, D] table gradient; the
+                # per-occurrence row grads flow out batch-sharded and
+                # _sparse_apply scatters them under the enclosing jit.
+                # (Overflowed a2a ids — served a zero row — still get a
+                # row gradient here, computed at the zero embedding;
+                # the dense path drops them entirely. Identical when
+                # overflow = 0, which capacity_factor headroom ensures.)
+                tw = params["towers"]
+                uid_l, mid_l = batch["user_id"], batch["movie_id"]
+                if loss_lookup is not None:
+                    rows_u = _lax.stop_gradient(
+                        loss_lookup(tw["user_table"], uid_l))
+                    rows_i = _lax.stop_gradient(
+                        loss_lookup(tw["item_table"], mid_l))
+                else:
+                    rows_u = _lax.stop_gradient(jnp.take(
+                        tw["user_table"],
+                        jnp.clip(uid_l, 0, tw["user_table"].shape[0] - 1),
+                        axis=0))
+                    rows_i = _lax.stop_gradient(jnp.take(
+                        tw["item_table"],
+                        jnp.clip(mid_l, 0, tw["item_table"].shape[0] - 1),
+                        axis=0))
+                bias_rows = _lax.stop_gradient(jnp.take(
+                    tw["item_bias"],
+                    jnp.clip(mid_l, 0, tw["item_bias"].shape[0] - 1)))
+                if strategy == "a2a":
+                    # a2a outputs are numerically identical on every
+                    # model replica (same replicated batch, same
+                    # requests) but vma-varying; reclaim replication at
+                    # the VALUE level with an exact pmean so the whole
+                    # virtual loss — and therefore every row cotangent —
+                    # is unvarying over the model axis (otherwise the
+                    # model-pmean'd global loss hands each replica's
+                    # rows a 1/n_model cotangent)
+                    rows_u = _lax.pmean(rows_u, ctx.model_axis)
+                    rows_i = _lax.pmean(rows_i, ctx.model_axis)
+                virt_tw = {**tw, "user_table": rows_u,
+                           "item_table": rows_i, "item_bias": bias_rows}
+                loss_params = {**params, "towers": virt_tw}
+                ar = jnp.arange(b_local, dtype=jnp.int32)
+                loss_batch = {**batch, "user_id": ar, "movie_id": ar,
+                              "mask_ids": batch["movie_id"]}
+                loss_lookup = None  # virtual tables are local [B, D]
+            # Differentiate the EXPLICIT global objective, not the
+            # per-slot loss: gl = pmean(L_s) (plus a model-axis pmean
+            # when the a2a lookup makes the loss value vma-varying over
+            # model). This makes every leaf's gradient exactly dL̄/dleaf
+            # with the vma bookkeeping doing the work — replicated
+            # leaves get their cross-slot psum from the pvary transpose
+            # at the right magnitude, sharded table shards get their own
+            # slice, and sparse virtual rows get per-occurrence dL̄.
+            # Differentiating the raw per-slot L_s instead returns
+            # grads scaled by the axis size for replicated leaves
+            # (the pvary transpose psums WITHOUT the 1/n): measured 4x
+            # on a data=4 mesh — invisible under clipnorm (scale
+            # invariance) until the sparse path mixed the two scalings.
+            def global_loss(p):
+                loss, metrics = MultiTaskModel.loss(
+                    p,
+                    cfg.model,
+                    loss_batch,
+                    key=key,
+                    train=True,
+                    class_weights=class_weights,
+                    # data_axis is always set in-body (global BCE weight
+                    # normalization); global_negatives alone decides
+                    # whether the retrieval candidates are all-gathered
+                    data_axis=ctx.data_axis,
+                    global_negatives=glob,
+                    neg_item_ids=neg_ids,
+                    lookup=loss_lookup,
+                    data_axis_size=ctx.n_data,
+                )
+                gl = _lax.pmean(loss, ctx.data_axis)
+                if strategy == "a2a":
+                    gl = _lax.pmean(gl, ctx.model_axis)
+                return gl, metrics
+
             (loss, metrics), grads = jax.value_and_grad(
-                MultiTaskModel.loss, has_aux=True
-            )(
-                params,
-                cfg.model,
-                batch,
-                key=key,
-                train=True,
-                class_weights=class_weights,
-                # data_axis is always set in-body (global BCE weight
-                # normalization); global_negatives alone decides whether
-                # the retrieval candidates are all-gathered
-                data_axis=ctx.data_axis,
-                global_negatives=glob,
-                neg_item_ids=neg_ids,
-                lookup=lookup,
-                data_axis_size=ctx.n_data,
-            )
-            # grad of the global-mean loss = pmean of local-mean grads
-            # (holds for sharded table leaves too: each data slot
-            # scatters into its own touched rows, the pmean sums them)
-            grads = jax.tree.map(lambda g: _lax.pmean(g, ctx.data_axis), grads)
+                global_loss, has_aux=True
+            )(loss_params)
             metrics = jax.tree.map(
                 lambda m: _lax.pmean(m, ctx.data_axis), metrics
             )
             if strategy == "a2a":
-                # every model replica of a data slot issues identical
-                # a2a requests on the replicated batch and gets identical
-                # rows back, but the vma check can only infer all_to_all
-                # outputs as "varying over model" — reclaim the static
-                # replication the out_specs promise with an exact pmean
-                # (average of identical values) over the model axis for
-                # replicated-spec leaves; sharded table grads stay put.
-                def _remodel(path, g):
-                    names = [p.key for p in path if hasattr(p, "key")]
-                    if names and names[-1] in ("user_table", "item_table"):
-                        return g
-                    return _lax.pmean(g, ctx.model_axis)
-
-                grads = jax.tree_util.tree_map_with_path(_remodel, grads)
+                # metric VALUES computed from a2a outputs are identical
+                # on every model replica but vma-inferred as varying —
+                # reclaim replication with an exact pmean over model
                 metrics = jax.tree.map(
                     lambda m: _lax.pmean(m, ctx.model_axis), metrics
                 )
@@ -538,9 +610,22 @@ class Trainer:
                 )
             return grads, metrics
 
+        def grad_spec(path, leaf):
+            # sparse mode: the three table leaves come back as
+            # per-occurrence row grads, batch-sharded over data
+            names = [p.key for p in path if hasattr(p, "key")]
+            if sparse and names and names[-1] in ("user_table", "item_table"):
+                return P(ctx.data_axis, None)
+            if sparse and names and names[-1] == "item_bias":
+                return P(ctx.data_axis)
+            return param_spec(path, leaf)
+
         def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
             params_specs = jax.tree_util.tree_map_with_path(
                 param_spec, state.params
+            )
+            grads_specs = jax.tree_util.tree_map_with_path(
+                grad_spec, state.params
             )
             batch_specs = jax.tree.map(batch_spec, batch)
             metric_names = ("loss", "retrieval_loss", "rating_mse",
@@ -557,12 +642,28 @@ class Trainer:
                 grad_body,
                 mesh=ctx.mesh,
                 in_specs=(params_specs, batch_specs, P(), P()),
-                out_specs=(params_specs, metric_specs),
+                out_specs=(grads_specs, metric_specs),
                 check_vma=True,
             )(state.params, batch, state.rng, state.step)
-            new_params, new_opt = opt.update(
-                grads, state.opt_state, state.params, state.step
-            )
+            if sparse:
+                # row grads -> dense-semantics touched-rows update under
+                # the enclosing jit: XLA partitions the combine/scatter
+                # against the model-sharded tables (same machinery as
+                # the GSPMD sparse path, test_sparse_table_updates_*)
+                tw = state.params["towers"]
+                uid = jnp.clip(batch["user_id"], 0,
+                               tw["user_table"].shape[0] - 1)
+                mid = jnp.clip(batch["movie_id"], 0,
+                               tw["item_table"].shape[0] - 1)
+                bid = jnp.clip(batch["movie_id"], 0,
+                               tw["item_bias"].shape[0] - 1)
+                new_params, new_opt = self._sparse_apply(
+                    state, grads, uid, mid, bid
+                )
+            else:
+                new_params, new_opt = opt.update(
+                    grads, state.opt_state, state.params, state.step
+                )
             return TrainState(new_params, new_opt, state.step + 1, state.rng), metrics
 
         return step_fn

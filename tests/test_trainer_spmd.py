@@ -270,3 +270,36 @@ def test_trainer_end_to_end_rows_a2a(tiny_bundle, tmp_path):
     report = trainer.train(tiny_bundle)
     assert np.isfinite(report["recall@5"])
     assert (tmp_path / "serving" / "encoder.npz").exists()
+
+
+@pytest.mark.parametrize("strategy", ["psum", "a2a"])
+def test_spmd_sparse_updates_match_replicated(strategy, batches, baseline):
+    """Sparse touched-rows updates INSIDE the explicit SPMD step
+    (virtual-row grads through the collective lookup, scatter under the
+    enclosing jit): parameters after 3 steps must match the replicated
+    dense baseline — the production config for giant row-sharded tables
+    no longer needs dense [V_shard, D] gradients."""
+    ctx = make_mesh(model_parallel=2)
+    cfg = _cfg(model_parallel=2, sharding="rows", lookup=strategy,
+               sparse_table_updates=True)
+    params, metrics = _train_steps(cfg, ctx, batches)
+    _tree_close(params, baseline[0], what=f"sparse spmd {strategy}")
+    np.testing.assert_allclose(
+        metrics["loss"], baseline[1]["loss"], rtol=1e-4)
+
+
+def test_spmd_sparse_per_replica_negatives(batches):
+    """Sparse updates compose with the per-replica negative scope (the
+    other reason the explicit step exists)."""
+    ctx = make_mesh(model_parallel=2)
+    cfg = _cfg(model_parallel=2, sharding="rows", lookup="a2a",
+               global_negs=False, sparse_table_updates=True)
+    params, metrics = _train_steps(cfg, ctx, batches)
+    assert np.isfinite(float(metrics["loss"]))
+    # must equal the same config with dense table grads (both run the
+    # per-replica SPMD step; only the table-update mechanics differ)
+    cfg_d = _cfg(model_parallel=2, sharding="rows", lookup="a2a",
+                 global_negs=False, sparse_table_updates=False)
+    ctx_d = make_mesh(model_parallel=2)
+    params_d, _ = _train_steps(cfg_d, ctx_d, batches)
+    _tree_close(params, params_d, what="sparse vs dense per-replica")
