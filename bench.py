@@ -2,11 +2,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Baseline: the reference publishes exactly one training-speed number —
-~5 minutes for 5 epochs of the default CLI config on CPU
-(``QUICK_START.md:53``; 800k train rows => ~13,300 examples/s). That is
-the only wall-clock training figure it ships (BASELINE.md), so
-``vs_baseline`` = our examples/s/chip / 13,300.
+Baseline: the SELF-MEASURED reference-equivalent TF/Keras run on this
+container's CPU — 22,138 examples/s
+(``benchmarks/tf_reference_baseline.py`` with the reference CLI
+defaults; ``benchmarks/results/tf_reference_cpu.json``). That supersedes
+the round-1 denominator inferred from the reference's only published
+wall-clock figure (~5 min / 5 epochs => ~13,300 ex/s,
+``QUICK_START.md:53``); ``vs_baseline`` = our examples/s/chip / 22,138.
 
 Run: python bench.py [--steps N] [--batch B] [--dim D] [--quick]
 """
@@ -21,7 +23,7 @@ import time
 
 import numpy as np
 
-REFERENCE_EXAMPLES_PER_S = 13_300.0
+REFERENCE_EXAMPLES_PER_S = 22_138.0  # measured, see docstring
 BENCH_BUNDLE = "data/processed/bench_bundle.npz"
 
 

@@ -425,13 +425,15 @@ def bench_mesh_train(n_users: int, n_items: int, dim: int, batch: int,
         "log_q": np.full(batch, -np.log(n_items), np.float32),
     }
     out = {}
-    for strategy in ("xla", "psum", "a2a"):
+    for strategy, sparse in (("xla", False), ("psum", False),
+                             ("a2a", False), ("a2a", True)):
         ctx = make_mesh(model_parallel=2, devices=jax.devices()[:n_devices])
         cfg = RecsysConfig(
             model=ModelConfig(embedding_dim=dim, dropout_rate=0.0,
                               mixed_precision=False),
             train=TrainConfig(batch_size=batch, epochs=1,
-                              donate_state=False, global_negatives=True),
+                              donate_state=False, global_negatives=True,
+                              sparse_table_updates=sparse),
             mesh=MeshConfig(model_axis=2, embedding_sharding="rows",
                             lookup_strategy=strategy),
             eval=EvalConfig(topk=(10,)),
@@ -451,10 +453,11 @@ def bench_mesh_train(n_users: int, n_items: int, dim: int, batch: int,
             state, metrics = step(state, placed)
         jax.block_until_ready(state.params)
         dt = (time.perf_counter() - t0) / reps
-        out[f"step_ms_{strategy}"] = round(dt * 1e3, 3)
-        out[f"examples_per_s_{strategy}"] = round(batch / dt, 1)
-        out[f"loss_{strategy}"] = round(float(np.asarray(metrics["loss"])), 5)
-        if strategy == "a2a":
+        tag = f"{strategy}_sparse" if sparse else strategy
+        out[f"step_ms_{tag}"] = round(dt * 1e3, 3)
+        out[f"examples_per_s_{tag}"] = round(batch / dt, 1)
+        out[f"loss_{tag}"] = round(float(np.asarray(metrics["loss"])), 5)
+        if strategy == "a2a" and not sparse:
             out["lookup_overflow"] = float(
                 np.asarray(metrics.get("lookup_overflow", 0.0)))
         del state
