@@ -159,4 +159,61 @@ void l2_normalize_rows(float* data, int64_t n, int64_t dim) {
   }
 }
 
+// 3. gather_batch: the streaming data-loader's hot op — materialize one
+//    shuffled batch from column arrays: dst[c][j] = src[c][idx[j]] for
+//    every column, rows of arbitrary byte width. Threaded over index
+//    ranges (each thread copies its row range across ALL columns, so a
+//    row's columns stay cache-warm together). Called through ctypes,
+//    which releases the GIL — a Python prefetch thread overlaps the
+//    next batch's gather with the device step at full parallelism
+//    (data/pipeline.py::NativeBatcher). Replaces NumPy fancy indexing,
+//    which is single-threaded and re-walks the index array per column.
+//
+//    src[c]: base pointer of column c (contiguous, n_rows rows of
+//    row_bytes[c] bytes each); idx: [n_idx] row indices (caller
+//    guarantees in-range); dst[c]: [n_idx * row_bytes[c]] output.
+void gather_batch(int32_t n_cols, const void** src,
+                  const int64_t* row_bytes, const int64_t* idx,
+                  int64_t n_idx, void** dst, int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > n_idx) n_threads = n_idx > 0 ? static_cast<int32_t>(n_idx) : 1;
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int32_t c = 0; c < n_cols; ++c) {
+      const int64_t rb = row_bytes[c];
+      const char* s = static_cast<const char*>(src[c]);
+      char* d = static_cast<char*>(dst[c]);
+      // per-column inner loop: wide rows memcpy, narrow rows get a
+      // typed fast path the compiler can vectorize the addressing of
+      if (rb == 4) {
+        const uint32_t* s4 = reinterpret_cast<const uint32_t*>(s);
+        uint32_t* d4 = reinterpret_cast<uint32_t*>(d);
+        for (int64_t j = lo; j < hi; ++j) d4[j] = s4[idx[j]];
+      } else if (rb == 8) {
+        const uint64_t* s8 = reinterpret_cast<const uint64_t*>(s);
+        uint64_t* d8 = reinterpret_cast<uint64_t*>(d);
+        for (int64_t j = lo; j < hi; ++j) d8[j] = s8[idx[j]];
+      } else {
+        for (int64_t j = lo; j < hi; ++j)
+          std::memcpy(d + j * rb, s + idx[j] * rb, rb);
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker(0, n_idx);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n_idx + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n_idx, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(worker, lo, hi);
+  }
+  for (auto& t : threads) t.join();
+}
+
 }  // extern "C"

@@ -60,7 +60,18 @@ class Batcher:
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Yield this host's slice of each global batch. A ``mask``
-        column marks real rows when padding (eval tails)."""
+        column marks real rows when padding (eval tails).
+
+        The per-step row gather — the streaming path's host hot op —
+        runs through the threaded C++ ``gather_batch``
+        (``native/native.cpp``) when the library is available; ctypes
+        releases the GIL during the call, so the gather parallelizes
+        across cores and overlaps the asynchronously-dispatched device
+        step. NumPy fancy indexing is the exact-equivalent fallback.
+        Only this host's slice of the global batch is materialized."""
+        from recsys_tpu.utils.native import gather_batch, native_available
+
+        use_native = native_available()
         if self.shuffle:
             order = np.random.default_rng((self.seed, epoch_idx)).permutation(self.n)
         else:
@@ -79,10 +90,13 @@ class Batcher:
                 )
                 if pad:
                     idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
-            sl = slice(lo_off, lo_off + local)
-            batch = {c: self.data[c][idx][sl] for c in self.columns}
+            sl_idx = idx[lo_off:lo_off + local]
+            if use_native:
+                batch = gather_batch(self.data, sl_idx)
+            else:
+                batch = {c: self.data[c][sl_idx] for c in self.columns}
             if mask is not None:
-                batch["mask"] = mask[sl]
+                batch["mask"] = mask[lo_off:lo_off + local]
             yield batch
 
     def __iter__(self):

@@ -58,6 +58,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        lib.gather_batch.restype = None
+        lib.gather_batch.argtypes = [
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p), ctypes.c_int32,
+        ]
         _lib = lib
         logger.debug("native library loaded from %s", _LIB_PATH)
     except Exception as e:  # toolchain absent / build failure -> fallback
@@ -146,3 +152,42 @@ def topk_dot(
     order = np.argsort(-part, axis=1)
     ids = np.take_along_axis(ids, order, axis=1).astype(np.int32)
     return np.take_along_axis(dense, ids, axis=1).astype(np.float32), ids
+
+
+def gather_batch(columns, idx: np.ndarray, n_threads: int = 0):
+    """Materialize one shuffled batch from contiguous column arrays:
+    ``out[c][j] = columns[c][idx[j]]`` for every column, via the
+    threaded C++ gather (``native/native.cpp::gather_batch``). The
+    ctypes call releases the GIL, so a Python prefetch thread overlaps
+    the next batch's gather with the running device step. Falls back to
+    NumPy fancy indexing when the library is unavailable.
+
+    ``columns``: dict name -> np.ndarray (any dtype; rows = axis 0).
+    Returns a dict of fresh arrays shaped ``(len(idx), *col.shape[1:])``.
+    """
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    if lib is None:
+        return {k: v[idx] for k, v in columns.items()}
+    names = list(columns)
+    srcs = [np.ascontiguousarray(columns[k]) for k in names]
+    outs = [
+        np.empty((len(idx),) + s.shape[1:], s.dtype) for s in srcs
+    ]
+    n = len(names)
+    src_ptrs = (ctypes.c_void_p * n)(
+        *[s.ctypes.data_as(ctypes.c_void_p).value for s in srcs]
+    )
+    dst_ptrs = (ctypes.c_void_p * n)(
+        *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs]
+    )
+    row_bytes = (ctypes.c_int64 * n)(
+        *[s.dtype.itemsize * int(np.prod(s.shape[1:], dtype=np.int64))
+          for s in srcs]
+    )
+    lib.gather_batch(
+        n, src_ptrs, row_bytes,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(idx), dst_ptrs, n_threads,
+    )
+    return dict(zip(names, outs))
