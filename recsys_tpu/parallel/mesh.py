@@ -37,6 +37,18 @@ def maybe_initialize_distributed() -> None:
         return  # already initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord and os.environ.get("JAX_NUM_PROCESSES"):
+        # an environment hook (e.g. a container sitecustomize) may have
+        # initialized a backend at import time, which
+        # jax.distributed.initialize refuses to follow — drop the cached
+        # backends first so the distributed runtime owns initialization
+        import jax.extend.backend as _jeb
+
+        try:
+            _jeb.clear_backends()
+        except Exception:  # pragma: no cover — nothing was initialized
+            pass
+        if os.environ.get("JAX_PLATFORMS"):
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

@@ -74,11 +74,21 @@ class CheckpointManager:
         path = self._path(step)
         if self.use_orbax:
             ckptr = ocp.StandardCheckpointer()
-            if os.path.exists(path):
+            if jax.process_count() > 1:
+                # multi-host: every process participates in the save
+                # (Orbax coordinates sharded writes), but only one may
+                # clear a stale directory — and everyone must wait for
+                # it before writing (shared-filesystem race otherwise)
+                from jax.experimental import multihost_utils
+
+                if jax.process_index() == 0 and os.path.exists(path):
+                    shutil.rmtree(path)
+                multihost_utils.sync_global_devices(f"ckpt_clear_{step}")
+            elif os.path.exists(path):
                 shutil.rmtree(path)
             ckptr.save(path, state)
             ckptr.wait_until_finished()
-        else:
+        elif jax.process_index() == 0:  # npz fallback: replicated state
             os.makedirs(path, exist_ok=True)
             np.savez(os.path.join(path, "state.npz"), **_flatten(state))
         if jax.process_index() == 0:

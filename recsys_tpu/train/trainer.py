@@ -869,6 +869,12 @@ class Trainer:
         device_resident = (
             t_cfg.device_resident_data
             and data_bytes + neg_bytes <= t_cfg.device_data_limit_mb * 1024 * 1024
+            # multi-host runs take the streaming path: the resident path
+            # builds process-local arrays (jnp.asarray of the full
+            # split), which cannot feed a jit over the global mesh —
+            # the streaming path's make_array_from_process_local_data
+            # assembles proper global batches per step
+            and jax.process_count() == 1
         )
 
         train_epoch = val_epoch = train_step = eval_step = None
