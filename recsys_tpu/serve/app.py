@@ -61,7 +61,7 @@ class Telemetry:
     # the exposition text
     KNOWN_PATHS = frozenset({
         "/", "/health", "/model/info", "/metrics", "/recommend",
-        "/recommend/batch", "/score",
+        "/recommend/batch", "/score", "/admin/reload",
     })
 
     def __init__(self):
@@ -133,10 +133,57 @@ class Api:
     concurrent requests share one batched scoring call."""
 
     def __init__(self, service: Optional[RecommendationService],
-                 batcher=None):
+                 batcher=None, service_factory=None):
         self.service = service
         self.batcher = batcher
         self.telemetry = Telemetry()
+        # hot reload (POST /admin/reload): ``service_factory() -> loaded
+        # service`` builds a FRESH service from the (possibly retrained)
+        # bundle; the swap is atomic from the request threads' view.
+        # Off unless a factory is supplied (scripts/serve.py
+        # --allow_reload); the endpoint is unauthenticated — expose it
+        # only on trusted networks.
+        self.service_factory = service_factory
+        self._reload_lock = threading.Lock()
+        self.reload_count = 0
+
+    def admin_reload(self) -> Tuple[int, Dict]:
+        if self.service_factory is None:
+            return 404, {"detail": "not found"}
+        with self._reload_lock:  # one reload at a time
+            old_version = (self.service.get_model_info().get("bundle_mtime")
+                           if self.service and self.service.is_ready()
+                           else None)
+            try:
+                new_service = self.service_factory()
+            except Exception as e:
+                logger.exception("hot reload failed; old bundle stays live")
+                return 500, {"detail": f"reload failed: {e}"}
+            new_batcher = None
+            if self.batcher is not None:
+                from recsys_tpu.serve.batcher import MicroBatcher
+
+                new_batcher = MicroBatcher(
+                    new_service,
+                    max_batch=self.batcher.max_batch,
+                    max_wait_ms=self.batcher.max_wait_s * 1000.0,
+                    timeout_s=self.batcher.timeout_s,
+                ).start()
+            old_batcher = self.batcher
+            # attribute stores are atomic: in-flight requests finish on
+            # the old service/batcher objects they already read
+            self.service = new_service
+            self.batcher = new_batcher
+            self.reload_count += 1
+            if old_batcher is not None:
+                old_batcher.stop()  # drains; stragglers get an error
+            info = new_service.get_model_info()
+            return 200, {
+                "reloaded": True,
+                "reload_count": self.reload_count,
+                "previous_bundle_mtime": old_version,
+                "model_info": info,
+            }
 
     # each handler returns (status_code, payload_dict)
     def root(self) -> Tuple[int, Dict]:
@@ -229,6 +276,8 @@ class Api:
                 if path == "/model/info":
                     return self.model_info()
             elif method == "POST":
+                if path == "/admin/reload":  # body-less admin action
+                    return self.admin_reload()
                 if body is None:
                     return 422, {"detail": "invalid or missing JSON body"}
                 if path == "/recommend":
@@ -251,8 +300,9 @@ def make_http_server(
     port: int = 8000,
     reuse_port: bool = False,
     batcher=None,
+    service_factory=None,
 ) -> ThreadingHTTPServer:
-    api = Api(service, batcher=batcher)
+    api = Api(service, batcher=batcher, service_factory=service_factory)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # keep-alive (we always send Content-Length)
@@ -320,7 +370,8 @@ def make_http_server(
 def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
                stub: bool = False, rerank_candidates: int = 0,
                microbatch: int = 0, microbatch_wait_ms: float = 0.0,
-               backend: str = "auto", int8_catalog: bool = False) -> None:
+               backend: str = "auto", int8_catalog: bool = False,
+               allow_reload: bool = False) -> None:
     service: Optional[RecommendationService] = None
     if stub:
         from recsys_tpu.serve.service import StubRecommendationService
@@ -343,8 +394,17 @@ def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
 
         batcher = MicroBatcher(service, max_batch=microbatch,
                                max_wait_ms=microbatch_wait_ms).start()
+    service_factory = None
+    if allow_reload and not stub:
+        def service_factory():
+            return RecommendationService(
+                model_dir, backend=backend,
+                rerank_candidates=rerank_candidates,
+                int8_catalog=int8_catalog,
+            ).load()
     server = make_http_server(service, host, port, reuse_port=reuse_port,
-                              batcher=batcher)
+                              batcher=batcher,
+                              service_factory=service_factory)
     logger.info("serving on %s:%d (model_dir=%s, microbatch=%d)",
                 host, port, model_dir, microbatch)
     server.serve_forever()
@@ -361,6 +421,7 @@ def serve_forever(
     microbatch_wait_ms: float = 0.0,
     backend: str = "auto",
     int8_catalog: bool = False,
+    allow_reload: bool = False,
 ) -> None:
     """Load the inference bundle and serve (uvicorn-replacement entry).
     Startup-failure contract parity (``app/main.py:105-119``): if the
@@ -377,7 +438,7 @@ def serve_forever(
                    rerank_candidates=rerank_candidates,
                    microbatch=microbatch,
                    microbatch_wait_ms=microbatch_wait_ms, backend=backend,
-                   int8_catalog=int8_catalog)
+                   int8_catalog=int8_catalog, allow_reload=allow_reload)
         return
     import os as _os
     import signal as _signal
@@ -390,7 +451,8 @@ def serve_forever(
                        rerank_candidates=rerank_candidates,
                        microbatch=microbatch,
                        microbatch_wait_ms=microbatch_wait_ms,
-                       backend=backend, int8_catalog=int8_catalog)
+                       backend=backend, int8_catalog=int8_catalog,
+                       allow_reload=allow_reload)
             _os._exit(0)
         pids.append(pid)
     logger.info("forked %d serving workers on %s:%d", workers, host, port)

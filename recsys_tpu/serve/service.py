@@ -446,9 +446,16 @@ class RecommendationService:
         ]
 
     def get_model_info(self) -> Dict:
+        # bundle_mtime identifies WHICH artifacts are live (the encoder
+        # file's mtime) — it changes on retrain, so /admin/reload and
+        # operators can tell a hot-swapped bundle from the old one even
+        # when config.json's model_version string is unchanged
+        enc = os.path.join(self.model_dir, "encoder.npz")
+        mtime = os.path.getmtime(enc) if os.path.exists(enc) else None
         return {
             "model_version": self.model_version,
             "model_dir": self.model_dir,
+            "bundle_mtime": mtime,
             "n_users": len(self.user_id_map),
             "n_items": len(self.item_id_map),
             "embedding_dim": self.config.model.embedding_dim if self.config else None,

@@ -47,6 +47,11 @@ def main(argv=None) -> int:
     ap.add_argument("--int8_catalog", action="store_true",
                     help="serve from an int8-quantized catalog (4x less "
                          "HBM; device backend adds an exact f32 refine)")
+    ap.add_argument("--allow_reload", action="store_true",
+                    help="enable POST /admin/reload: atomically hot-swap "
+                         "a retrained bundle from --model_dir without "
+                         "restarting (unauthenticated - trusted networks "
+                         "only)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -59,7 +64,8 @@ def main(argv=None) -> int:
                   rerank_candidates=args.rerank_candidates,
                   microbatch=args.microbatch,
                   microbatch_wait_ms=args.microbatch_wait_ms,
-                  backend=args.backend, int8_catalog=args.int8_catalog)
+                  backend=args.backend, int8_catalog=args.int8_catalog,
+                  allow_reload=args.allow_reload)
     return 0
 
 

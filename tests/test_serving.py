@@ -626,3 +626,111 @@ def test_int8_catalog_serving(trained_service):
         got_sh = [r["item_id"] for r in sh8.recommend(uid, k=5)]
         assert got_dev == ref  # refine_factor=4 makes the device path exact
         assert len(set(got_sh) & set(ref)) >= 4  # raw int8: near-exact
+
+
+def test_admin_hot_reload(trained_service):
+    """POST /admin/reload atomically swaps in a retrained bundle with
+    zero downtime: requests before/during/after the reload all succeed,
+    the swap changes live results (the bundle on disk was perturbed),
+    and /model/info reflects the new bundle. Disabled (404) without a
+    service factory."""
+    import os
+    import threading as _threading
+
+    from recsys_tpu.serve.app import make_http_server
+    from recsys_tpu.serve.service import RecommendationService
+
+    svc, bundle = trained_service
+    model_dir = svc.model_dir
+
+    # server WITHOUT reload enabled: endpoint is 404
+    srv0 = make_http_server(svc, host="127.0.0.1", port=0)
+    port0 = srv0.server_address[1]
+    t0 = _threading.Thread(target=srv0.serve_forever, daemon=True)
+    t0.start()
+    code, _ = _req(port0, "POST", "/admin/reload", {})
+    assert code == 404
+    srv0.shutdown()
+
+    def factory():
+        return RecommendationService(model_dir, backend="native").load()
+
+    srv = make_http_server(factory(), host="127.0.0.1", port=0,
+                           service_factory=factory)
+    port = srv.server_address[1]
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        uid = int(bundle["meta/user_raw_ids"][0])
+        code, before = _req(port, "POST", "/recommend",
+                            {"user_id": uid, "k": 5})
+        assert code == 200
+        code, info_before = _req(port, "GET", "/model/info")
+        assert code == 200
+
+        # simulate a retrain: flip the sign of the catalog embeddings on
+        # disk (reverses every ranking), preserving the artifact schema
+        idx_path = os.path.join(model_dir, "index.npz")
+        original = open(idx_path, "rb").read()
+        idx = dict(np.load(idx_path, allow_pickle=False))
+        emb_key = [k for k in idx if "emb" in k][0]
+        idx[emb_key] = -idx[emb_key]
+        np.savez(idx_path, **idx)
+        try:
+            code, rep = _req(port, "POST", "/admin/reload", {})
+            assert code == 200 and rep["reloaded"] and rep["reload_count"] == 1
+            code, after = _req(port, "POST", "/recommend",
+                               {"user_id": uid, "k": 5})
+            assert code == 200
+            ids_before = [r["item_id"] for r in before["recommendations"]]
+            ids_after = [r["item_id"] for r in after["recommendations"]]
+            assert ids_before != ids_after, "reload did not change results"
+            code, _ = _req(port, "GET", "/health")
+            assert code == 200
+        finally:
+            open(idx_path, "wb").write(original)
+
+        # reload back to the restored bundle: original results return
+        code, rep = _req(port, "POST", "/admin/reload", {})
+        assert code == 200 and rep["reload_count"] == 2
+        code, again = _req(port, "POST", "/recommend",
+                           {"user_id": uid, "k": 5})
+        assert [r["item_id"] for r in again["recommendations"]] == [
+            r["item_id"] for r in before["recommendations"]]
+    finally:
+        srv.shutdown()
+
+
+def test_admin_hot_reload_with_microbatcher(trained_service):
+    """Reload swaps the micro-batcher too: a fresh dispatcher is started
+    on the new service and the old one is drained/stopped."""
+    import threading as _threading
+
+    from recsys_tpu.serve.app import make_http_server
+    from recsys_tpu.serve.batcher import MicroBatcher
+    from recsys_tpu.serve.service import RecommendationService
+
+    svc, bundle = trained_service
+    model_dir = svc.model_dir
+
+    def factory():
+        return RecommendationService(model_dir, backend="native").load()
+
+    first = factory()
+    batcher = MicroBatcher(first, max_batch=32).start()
+    srv = make_http_server(first, host="127.0.0.1", port=0,
+                           batcher=batcher, service_factory=factory)
+    port = srv.server_address[1]
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        uid = int(bundle["meta/user_raw_ids"][1])
+        code, _ = _req(port, "POST", "/recommend", {"user_id": uid, "k": 3})
+        assert code == 200
+        code, rep = _req(port, "POST", "/admin/reload", {})
+        assert code == 200
+        # old dispatcher stopped, a new one is live and serving
+        assert not batcher._running
+        code, body = _req(port, "POST", "/recommend", {"user_id": uid, "k": 3})
+        assert code == 200 and len(body["recommendations"]) == 3
+    finally:
+        srv.shutdown()
