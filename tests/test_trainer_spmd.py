@@ -303,3 +303,17 @@ def test_spmd_sparse_per_replica_negatives(batches):
     ctx_d = make_mesh(model_parallel=2)
     params_d, _ = _train_steps(cfg_d, ctx_d, batches)
     _tree_close(params, params_d, what="sparse vs dense per-replica")
+
+
+def test_trainer_end_to_end_rows_a2a_sparse(tiny_bundle, tmp_path):
+    """Sparse touched-rows updates inside the SPMD step, INSIDE the
+    device-resident lax.scan epoch (shard_map + _sparse_apply traced
+    through scan): the full Trainer loop runs and exports a bundle."""
+    cfg = _cfg(model_parallel=2, sharding="rows", lookup="a2a",
+               epochs=2, eval_every_epochs=0, sparse_table_updates=True)
+    cfg = dataclasses.replace(cfg, eval=EvalConfig(topk=(5,), eval_sample=0))
+    ctx = make_mesh(model_parallel=2)
+    trainer = Trainer(cfg, output_dir=str(tmp_path), mesh_ctx=ctx)
+    report = trainer.train(tiny_bundle)
+    assert np.isfinite(report["recall@5"])
+    assert (tmp_path / "serving" / "encoder.npz").exists()
