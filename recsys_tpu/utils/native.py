@@ -169,6 +169,16 @@ def gather_batch(columns, idx: np.ndarray, n_threads: int = 0):
     idx = np.ascontiguousarray(idx, np.int64)
     if lib is None:
         return {k: v[idx] for k, v in columns.items()}
+    # the C++ gather trusts its indices (no per-row branch on the hot
+    # path); validate once here so a bad caller gets a ValueError, not
+    # an out-of-bounds read
+    if len(idx):
+        n_rows = min(len(v) for v in columns.values())
+        lo, hi = int(idx.min()), int(idx.max())
+        if lo < 0 or hi >= n_rows:
+            raise ValueError(
+                f"gather_batch indices out of range: [{lo}, {hi}] vs "
+                f"{n_rows} rows")
     names = list(columns)
     srcs = [np.ascontiguousarray(columns[k]) for k in names]
     outs = [

@@ -136,3 +136,18 @@ def test_batcher_uses_native_gather(tiny_bundle):
     for a, b in zip(with_native, without):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_gather_batch_rejects_out_of_range():
+    """The C++ gather trusts its indices; the wrapper must refuse
+    out-of-range ones instead of reading out of bounds."""
+    import numpy as np
+    import pytest
+
+    from recsys_tpu.utils.native import gather_batch
+
+    cols = {"a": np.arange(10, dtype=np.float32)}
+    with pytest.raises(ValueError, match="out of range"):
+        gather_batch(cols, np.array([0, 10]))
+    with pytest.raises(ValueError, match="out of range"):
+        gather_batch(cols, np.array([-1, 3]))
