@@ -734,3 +734,42 @@ def test_admin_hot_reload_with_microbatcher(trained_service):
         assert code == 200 and len(body["recommendations"]) == 3
     finally:
         srv.shutdown()
+
+
+def test_admin_reload_recovers_degraded_server(trained_service, tmp_path):
+    """A server that started in degraded mode (bundle missing at
+    startup) recovers via /admin/reload once the bundle exists —
+    restart-free recovery from the reference's 503 degraded state."""
+    import shutil
+    import threading as _threading
+
+    from recsys_tpu.serve.app import make_http_server
+    from recsys_tpu.serve.service import RecommendationService
+
+    svc, bundle = trained_service
+    staged = str(tmp_path / "late_bundle")
+
+    def factory():
+        return RecommendationService(staged, backend="native").load()
+
+    # bundle dir doesn't exist yet -> degraded startup (503s)
+    srv = make_http_server(None, host="127.0.0.1", port=0,
+                           service_factory=factory)
+    port = srv.server_address[1]
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        uid = int(bundle["meta/user_raw_ids"][0])
+        code, _ = _req(port, "POST", "/recommend", {"user_id": uid, "k": 3})
+        assert code == 503
+        code, _ = _req(port, "POST", "/admin/reload", {})
+        assert code == 500  # bundle still missing: old (empty) state stays
+
+        shutil.copytree(svc.model_dir, staged)
+        code, rep = _req(port, "POST", "/admin/reload", {})
+        assert code == 200 and rep["model_info"]["ready"]
+        code, body = _req(port, "POST", "/recommend", {"user_id": uid, "k": 3})
+        assert code == 200 and len(body["recommendations"]) == 3
+        code, body = _req(port, "GET", "/health")
+        assert code == 200 and body["model_loaded"]
+    finally:
+        srv.shutdown()
