@@ -44,7 +44,8 @@ TRAIN_ARGS = [
 ]
 
 
-def _run_training(bundle, out_dir, n_procs, port=None, timeout=420):
+def _run_training(bundle, out_dir, n_procs, port=None, timeout=420,
+                  extra_args=()):
     """Launch scripts/train.py as ``n_procs`` coordinated processes."""
     procs = []
     for pid in range(n_procs):
@@ -65,7 +66,8 @@ def _run_training(bundle, out_dir, n_procs, port=None, timeout=420):
             env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(REPO, "scripts", "train.py"),
-             "--data", bundle, "--output_dir", out_dir, *TRAIN_ARGS],
+             "--data", bundle, "--output_dir", out_dir, *TRAIN_ARGS,
+             *extra_args],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
@@ -116,3 +118,37 @@ def test_two_process_training_end_to_end(tiny_raw, tmp_path):
         assert abs(e_mh["train_loss"] - e_sp["train_loss"]) < 5e-3, (
             e_mh, e_sp)
         assert abs(e_mh["val_loss"] - e_sp["val_loss"]) < 5e-3
+
+
+@pytest.mark.slow
+def test_two_process_model_parallel_a2a(tiny_raw, tmp_path):
+    """The flagship multi-chip layout across REAL process boundaries:
+    two processes, four devices, mesh data=2 x model=2 with row-sharded
+    tables read through the a2a exchange inside the gradient step — the
+    all-to-alls and the sharded-table optimizer run over Gloo between
+    processes. Loss parity vs the same config in one process."""
+    from recsys_tpu.data.preprocessing import preprocessing_pipeline, save_bundle
+
+    bundle_path = str(tmp_path / "mp.npz")
+    save_bundle(preprocessing_pipeline(
+        tiny_raw["ratings"], tiny_raw["movies"], tiny_raw["users"]
+    ), bundle_path)
+    extra = ["--model_parallel", "2", "--embedding_sharding", "rows",
+             "--lookup_strategy", "a2a"]
+
+    out_mh = str(tmp_path / "mp_multihost")
+    rcs, outs = _run_training(bundle_path, out_mh, n_procs=2,
+                              port=_free_port(), extra_args=extra)
+    assert rcs == [0, 0], "\n".join(o[-3000:] for o in outs)
+    hist = json.load(open(os.path.join(out_mh, "detailed_metrics.json")))
+    assert len(hist["epochs"]) == 2
+    assert os.path.exists(os.path.join(out_mh, "serving", "index.npz"))
+
+    out_sp = str(tmp_path / "mp_singleproc")
+    rcs_sp, outs_sp = _run_training(bundle_path, out_sp, n_procs=1,
+                                    port=_free_port(), extra_args=extra)
+    assert rcs_sp == [0], outs_sp[0][-3000:]
+    hist_sp = json.load(open(os.path.join(out_sp, "detailed_metrics.json")))
+    for e_mh, e_sp in zip(hist["epochs"], hist_sp["epochs"]):
+        assert abs(e_mh["train_loss"] - e_sp["train_loss"]) < 5e-3, (
+            e_mh, e_sp)
