@@ -193,6 +193,12 @@ class TrainConfig:
     # is its natural (and only) granularity.
     checkpoint_every_steps: int = 0
     keep_checkpoints: int = 3
+    # background (async) checkpoint writes: the host snapshot is taken
+    # synchronously, the disk write overlaps the next training steps,
+    # and both backends commit atomically (see train/checkpoint.py).
+    # Auto-disabled under multi-host (process_count > 1), where saves
+    # stay synchronous.
+    async_checkpoint: bool = True
     resume: bool = False
     log_every_steps: int = 50
     donate_state: bool = True

@@ -6,6 +6,16 @@ and **no resume path** — training always restarts from scratch. Here:
 * Orbax-backed sharded checkpoints (each host writes its shards of
   row-sharded embedding tables) when available, npz fallback otherwise,
 * ``save(step)`` / ``restore_latest()`` / keep-N rotation,
+* **async saves** (``async_save=True``): the device→host snapshot is
+  taken synchronously (safe with donated step buffers — the next step
+  mutates the device state immediately), then the disk write runs in
+  the background while training continues; ``wait()`` finalizes the
+  commit, the ``metrics.json``/``best`` sidecars, and keep-N rotation.
+  Both backends commit atomically (Orbax tmp-dir rename; the npz
+  fallback writes ``<path>.tmp`` then ``os.replace``), so a crash
+  mid-write never leaves a half checkpoint that ``restore_latest``
+  would pick up. Single-process only — multi-host saves stay
+  synchronous (the commit barrier across hosts is not audited here),
 * a separate **inference bundle** (encoder params + vocabs + config +
   materialized item embeddings) replacing the reference's
   ``encoder.keras`` + ``vocabs.json`` + ``faiss.idx`` + ``item_map.json``
@@ -57,12 +67,19 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
 
 class CheckpointManager:
     """step-indexed checkpoints under ``<dir>/ckpt_<step>`` with keep-N
-    rotation and a ``best`` alias."""
+    rotation, a ``best`` alias, and optional background (async) saves."""
 
-    def __init__(self, directory: str, keep: int = 3, use_orbax: bool = _ORBAX):
+    def __init__(self, directory: str, keep: int = 3, use_orbax: bool = _ORBAX,
+                 async_save: bool = False):
         self.directory = os.path.abspath(directory)
         self.keep = keep
         self.use_orbax = use_orbax and _ORBAX
+        # async is single-process only: the multi-host path needs every
+        # process at the commit barrier, which the trainer's call sites
+        # do not guarantee mid-epoch
+        self.async_save = async_save and jax.process_count() == 1
+        self._async_ckptr = None  # lazily-built ocp.AsyncCheckpointer
+        self._pending: Optional[Tuple[int, Optional[Dict], bool, Any]] = None
         if jax.process_index() == 0:
             os.makedirs(self.directory, exist_ok=True)
 
@@ -71,9 +88,9 @@ class CheckpointManager:
 
     def save(self, step: int, state: Dict[str, Any], metrics: Optional[Dict] = None,
              is_best: bool = False) -> str:
+        self.wait()  # at most one write in flight
         path = self._path(step)
         if self.use_orbax:
-            ckptr = ocp.StandardCheckpointer()
             if jax.process_count() > 1:
                 # multi-host: every process participates in the save
                 # (Orbax coordinates sharded writes), but only one may
@@ -86,20 +103,73 @@ class CheckpointManager:
                 multihost_utils.sync_global_devices(f"ckpt_clear_{step}")
             elif os.path.exists(path):
                 shutil.rmtree(path)
+            if self.async_save:
+                if self._async_ckptr is None:
+                    self._async_ckptr = ocp.AsyncCheckpointer(
+                        ocp.StandardCheckpointHandler()
+                    )
+                # device→host snapshot happens inside save() before it
+                # returns; only the disk write is backgrounded, so the
+                # trainer may immediately mutate (donated) device state
+                self._async_ckptr.save(path, args=ocp.args.StandardSave(state))
+                self._pending = (step, metrics, is_best,
+                                 self._async_ckptr.wait_until_finished)
+                return path
+            ckptr = ocp.StandardCheckpointer()
             ckptr.save(path, state)
             ckptr.wait_until_finished()
         elif jax.process_index() == 0:  # npz fallback: replicated state
+            flat = _flatten(state)  # host copy NOW (donation safety)
+            if self.async_save:
+                import threading
+
+                def _write():
+                    tmp = path + ".tmp"
+                    if os.path.exists(tmp):
+                        shutil.rmtree(tmp)
+                    os.makedirs(tmp)
+                    np.savez(os.path.join(tmp, "state.npz"), **flat)
+                    if os.path.exists(path):
+                        shutil.rmtree(path)
+                    os.replace(tmp, path)  # atomic commit
+
+                t = threading.Thread(target=_write, daemon=True)
+                t.start()
+                self._pending = (step, metrics, is_best, t.join)
+                return path
             os.makedirs(path, exist_ok=True)
-            np.savez(os.path.join(path, "state.npz"), **_flatten(state))
-        if jax.process_index() == 0:
-            if metrics is not None:
-                with open(os.path.join(path, "metrics.json"), "w") as f:
-                    json.dump({k: float(v) for k, v in metrics.items()}, f)
-            if is_best:
-                with open(os.path.join(self.directory, "best"), "w") as f:
-                    f.write(str(step))
-            self._rotate()
+            np.savez(os.path.join(path, "state.npz"), **flat)
+        self._finalize(step, metrics, is_best)
         return path
+
+    def _finalize(self, step: int, metrics: Optional[Dict], is_best: bool) -> None:
+        """Post-commit sidecars + rotation (process 0 only)."""
+        if jax.process_index() != 0:
+            return
+        path = self._path(step)
+        if metrics is not None:
+            with open(os.path.join(path, "metrics.json"), "w") as f:
+                json.dump({k: float(v) for k, v in metrics.items()}, f)
+        if is_best:
+            with open(os.path.join(self.directory, "best"), "w") as f:
+                f.write(str(step))
+        self._rotate()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed, then
+        write its sidecars and rotate. No-op when nothing is pending."""
+        if self._pending is None:
+            return
+        step, metrics, is_best, waiter = self._pending
+        self._pending = None
+        waiter()
+        self._finalize(step, metrics, is_best)
+
+    def close(self) -> None:
+        self.wait()
+        if self._async_ckptr is not None:
+            self._async_ckptr.close()
+            self._async_ckptr = None
 
     def _rotate(self) -> None:
         steps = sorted(self.all_steps())
@@ -109,6 +179,10 @@ class CheckpointManager:
                 shutil.rmtree(self._path(s), ignore_errors=True)
 
     def all_steps(self):
+        # a pending async save must land before listing (wait() is a
+        # no-op during the post-commit rotation pass — _pending is
+        # cleared before _finalize runs)
+        self.wait()
         if not os.path.isdir(self.directory):
             return []
         out = []
@@ -119,6 +193,7 @@ class CheckpointManager:
         return sorted(out)
 
     def best_step(self) -> Optional[int]:
+        self.wait()  # the ``best`` alias is written post-commit
         p = os.path.join(self.directory, "best")
         if os.path.exists(p):
             with open(p) as f:
@@ -128,6 +203,7 @@ class CheckpointManager:
         return None
 
     def restore(self, step: int, like: Optional[Dict] = None) -> Dict:
+        self.wait()
         path = self._path(step)
         if self.use_orbax:
             ckptr = ocp.StandardCheckpointer()
