@@ -62,7 +62,12 @@ def load_movielens_data(
         )
         logger.info("loaded real ratings.dat: %d rows", len(ratings))
     else:
-        n = synthetic_ratings or 1_000_209
+        if synthetic_ratings is None:
+            # single source of truth for the default synthetic size
+            from recsys_tpu.config import DataConfig
+
+            synthetic_ratings = DataConfig().synthetic_num_ratings
+        n = synthetic_ratings
         ratings = synthesize_ratings(
             users["user_id"].to_numpy(),
             movies["movie_id"].to_numpy(),

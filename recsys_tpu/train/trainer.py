@@ -103,7 +103,8 @@ class Trainer:
         self.optimizer = make_optimizer(config.train)
         self.writer = MetricWriter(output_dir)
         self.ckpt = ckpt_lib.CheckpointManager(
-            f"{output_dir}/checkpoints", keep=config.train.keep_checkpoints
+            f"{output_dir}/checkpoints", keep=config.train.keep_checkpoints,
+            async_save=config.train.async_checkpoint,
         )
 
     # ---- sharding layout -------------------------------------------

@@ -17,16 +17,23 @@ import logging
 
 
 def main(argv=None) -> int:
+    # defaults come from DataConfig so the config dataclass is the single
+    # source of truth for data paths/sizes (no dead config fields)
+    from recsys_tpu.config import DataConfig
+
+    dc = DataConfig()
     ap = argparse.ArgumentParser(description="Preprocess MovieLens-1M data")
-    ap.add_argument("--data_dir", default="data/raw",
+    ap.add_argument("--data_dir", default=dc.data_dir,
                     help="directory with ratings.dat/movies.dat/users.dat")
-    ap.add_argument("--output", default="data/processed/processed_data.npz",
+    ap.add_argument("--output", default=dc.processed_path,
                     help="output bundle path (.npz)")
-    ap.add_argument("--implicit_threshold", type=float, default=4.0,
+    ap.add_argument("--implicit_threshold", type=float,
+                    default=dc.implicit_threshold,
                     help="rating >= threshold defines the positive label")
-    ap.add_argument("--synthetic_ratings", type=int, default=None,
+    ap.add_argument("--synthetic_ratings", type=int,
+                    default=dc.synthetic_num_ratings,
                     help="synthesize N ratings when ratings.dat is absent")
-    ap.add_argument("--synthetic_seed", type=int, default=1)
+    ap.add_argument("--synthetic_seed", type=int, default=dc.synthetic_seed)
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,

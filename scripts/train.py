@@ -52,6 +52,7 @@ def build_config(args):
             softmax_temperature=args.softmax_temperature,
         ),
         data=DataConfig(
+            processed_path=args.data,
             negative_sampling=args.negative_sampling,
             num_hard_negatives=args.num_hard_negatives,
             num_random_negatives=args.num_random_negatives,
@@ -75,7 +76,12 @@ def build_config(args):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Train the TPU recsys model")
-    ap.add_argument("--data", required=True, help="preprocessed bundle (.npz)")
+    # default: DataConfig.processed_path (the config dataclass is the
+    # single source of truth for the preprocessed-bundle location)
+    from recsys_tpu.config import DataConfig as _DC
+
+    ap.add_argument("--data", default=_DC().processed_path,
+                    help="preprocessed bundle (.npz)")
     ap.add_argument("--output_dir", default="outputs/models/experiment_001")
     # reference CLI defaults (scripts/train.py:60-125)
     ap.add_argument("--embedding_dim", type=int, default=64)
