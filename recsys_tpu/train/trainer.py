@@ -1019,6 +1019,21 @@ class Trainer:
                 steps_total += n_steps
                 examples_total += n_steps * t_cfg.batch_size
                 logs["examples_per_s"] = n_steps * t_cfg.batch_size / max(epoch_time, 1e-9)
+                if logs.get("train_lookup_overflow", 0.0) > 0:
+                    # overflowing ids are served a ZERO embedding row —
+                    # training silently degrades, so alarm loudly with
+                    # the knob that fixes it (docs/DESIGN.md "a2a cost
+                    # model" derives the capacity sizing)
+                    logger.warning(
+                        "a2a lookup overflow: %.1f ids/step (mean) exceeded "
+                        "the per-shard exchange capacity and were served "
+                        "zero rows. Raise mesh.lookup_capacity_factor "
+                        "(currently %.2f; capacity = ceil(factor * B_local "
+                        "/ n_shards) per (src, dst) shard pair) until "
+                        "lookup_overflow reports 0.",
+                        logs["train_lookup_overflow"],
+                        cfg.mesh.lookup_capacity_factor,
+                    )
 
                 # validation loss (for early stopping, parity with val_loss monitor)
                 if device_resident:
