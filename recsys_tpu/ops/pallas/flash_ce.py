@@ -12,10 +12,20 @@ the full logits matrix never exists in HBM. The backward pass is two
 more kernels (dU with query-major grid, dV/dcol with candidate-major
 grid) that recompute tile logits from the saved per-row LSE.
 
-Semantics match ``losses.in_batch_softmax`` (single-replica path):
+Semantics match ``losses.in_batch_softmax``:
 ``colcorr = item_bias - log_q`` per candidate column, accidental-hit
 masking via ``item_ids`` (duplicate columns are -inf'd except the
-diagonal), diagonal labels.
+row's positive column), per-row positive-column labels.
+
+The kernels are **rectangular**: ``[Bq, D]`` local query rows against
+``[Bk, D]`` candidates with an explicit positive column per row —
+``Bk = Bq`` with ``pos = arange`` recovers the square in-batch case,
+and ``Bk = n_data * Bq`` with ``pos = axis_index * Bq + arange`` is the
+**global-negatives** case (candidates all-gathered over the data axis
+inside the SPMD step; the all_gather stays OUTSIDE the custom_vjp so
+its reduce-scatter transpose is handled by autodiff). This closes the
+round-2 gap where flash was gated off exactly in the B>=128k
+cross-batch regime that needs it (``multitask.py``; SURVEY §7.3).
 
 All per-row vectors travel as [1, B] (lane-major) blocks — Mosaic
 requires 1-D operands to be whole-array blocks, so 2-D it is.
@@ -50,25 +60,39 @@ def _tile(b: int) -> int:
     return b
 
 
-def _logits_tile(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, i, j, tq, tk):
-    """Shared tile-logits computation: dot + colcorr + accidental mask."""
+def _vma(*xs) -> frozenset:
+    """Union of the inputs' varying-manual-axes: under a
+    ``check_vma=True`` shard_map (the trainer's SPMD step), pallas_call
+    out_shapes must declare which mesh axes the outputs vary over —
+    any output varies over every axis some input varies over."""
+    out = frozenset()
+    for x in xs:
+        out = out | getattr(jax.typeof(x), "vma", frozenset())
+    return out
+
+
+def _logits_tile(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, pos_ref,
+                 i, j, tq, tk):
+    """Shared tile-logits computation: dot + colcorr + accidental mask.
+    ``pos_ref`` [1, tq] holds each row's positive GLOBAL column index;
+    ``is_pos`` marks where that column lands in this tile."""
     s = jax.lax.dot_general(
         u_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     s = s + corr_ref[0, :].reshape(1, tk)
-    row_g = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
     col_g = j * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    is_pos = col_g == pos_ref[0, :].reshape(tq, 1)
     accidental = (
         ids_q_ref[0, :].reshape(tq, 1) == ids_k_ref[0, :].reshape(1, tk)
-    ) & (row_g != col_g)
+    ) & jnp.logical_not(is_pos)
     s = jnp.where(accidental, NEG_BIG, s)
-    return s, row_g, col_g
+    return s, is_pos
 
 
 # ---------------- forward -------------------------------------------------
 
-def _fwd_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
+def _fwd_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref,
                 lse_ref, pos_ref, m_scr, l_scr, pos_scr):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -82,13 +106,12 @@ def _fwd_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         pos_scr[:] = jnp.zeros_like(pos_scr)
 
-    s, row_g, col_g = _logits_tile(
-        u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, i, j, tq, tk
+    s, is_pos = _logits_tile(
+        u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref, i, j, tq, tk
     )
 
-    # positive (diagonal) logit if it lives in this tile
-    is_diag = row_g == col_g
-    pos_scr[0, :] += jnp.sum(jnp.where(is_diag, s, 0.0), axis=1)
+    # positive-column logit if it lives in this candidate tile
+    pos_scr[0, :] += jnp.sum(jnp.where(is_pos, s, 0.0), axis=1)
 
     # online logsumexp
     m_prev = m_scr[0, :]
@@ -105,10 +128,12 @@ def _fwd_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
         pos_ref[0, :] = pos_scr[0, :]
 
 
-def _flash_fwd_raw(u, v, colcorr, ids, interpret):
-    b, d = u.shape
-    tq = tk = _tile(b)
-    grid = (b // tq, b // tk)
+def _flash_fwd_raw(u, v, colcorr, ids_q, ids_k, pos_idx, interpret):
+    bq, d = u.shape
+    bk = v.shape[0]
+    tq, tk = _tile(bq), _tile(bk)
+    vma = _vma(u, v, colcorr, ids_q, ids_k, pos_idx)
+    grid = (bq // tq, bk // tk)
     lse, pos = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
@@ -118,14 +143,15 @@ def _flash_fwd_raw(u, v, colcorr, ids, interpret):
             pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, b), jnp.float32),
-            jax.ShapeDtypeStruct((1, b), jnp.float32),
+            jax.ShapeDtypeStruct((1, bq), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, bq), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, tq), jnp.float32),
@@ -133,13 +159,14 @@ def _flash_fwd_raw(u, v, colcorr, ids, interpret):
             pltpu.VMEM((1, tq), jnp.float32),
         ],
         interpret=interpret,
-    )(u, v, colcorr.reshape(1, b), ids.reshape(1, b), ids.reshape(1, b))
+    )(u, v, colcorr.reshape(1, bk), ids_q.reshape(1, bq),
+      ids_k.reshape(1, bk), pos_idx.reshape(1, bq))
     return lse[0], pos[0]
 
 
 # ---------------- backward ------------------------------------------------
 
-def _bwd_du_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
+def _bwd_du_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref,
                    lse_ref, g_ref, du_ref, acc_scr):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -151,8 +178,8 @@ def _bwd_du_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    s, _, _ = _logits_tile(
-        u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, i, j, tq, tk
+    s, _ = _logits_tile(
+        u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref, i, j, tq, tk
     )
     p = jnp.exp(s - lse_ref[0, :].reshape(tq, 1))
     pg = p * g_ref[0, :].reshape(tq, 1)
@@ -166,7 +193,7 @@ def _bwd_du_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
         du_ref[:] = acc_scr[:]
 
 
-def _bwd_dv_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
+def _bwd_dv_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref,
                    lse_ref, g_ref, dv_ref, dcol_ref, acc_scr, col_scr):
     # grid (j, i): candidate tile j is the output block, sweep query tiles
     j = pl.program_id(0)
@@ -180,8 +207,8 @@ def _bwd_dv_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
         col_scr[:] = jnp.zeros_like(col_scr)
 
-    s, _, _ = _logits_tile(
-        u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, i, j, tq, tk
+    s, _ = _logits_tile(
+        u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref, i, j, tq, tk
     )
     p = jnp.exp(s - lse_ref[0, :].reshape(tq, 1))
     pg = p * g_ref[0, :].reshape(tq, 1)
@@ -198,16 +225,20 @@ def _bwd_dv_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
         dcol_ref[0, :] = col_scr[0, :]
 
 
-def _flash_bwd_raw(u, v, colcorr, ids, lse, g, interpret):
-    b, d = u.shape
-    tq = tk = _tile(b)
-    corr2 = colcorr.reshape(1, b)
-    ids2 = ids.reshape(1, b)
-    lse2 = lse.reshape(1, b)
-    g2 = g.reshape(1, b)
+def _flash_bwd_raw(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g, interpret):
+    bq, d = u.shape
+    bk = v.shape[0]
+    tq, tk = _tile(bq), _tile(bk)
+    vma = _vma(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g)
+    corr2 = colcorr.reshape(1, bk)
+    idsq2 = ids_q.reshape(1, bq)
+    idsk2 = ids_k.reshape(1, bk)
+    pos2 = pos_idx.reshape(1, bq)
+    lse2 = lse.reshape(1, bq)
+    g2 = g.reshape(1, bq)
     du = pl.pallas_call(
         _bwd_du_kernel,
-        grid=(b // tq, b // tk),
+        grid=(bq // tq, bk // tk),
         in_specs=[
             pl.BlockSpec((tq, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -216,17 +247,18 @@ def _flash_bwd_raw(u, v, colcorr, ids, lse, g, interpret):
             pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tq, d), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bq, d), jnp.float32, vma=vma),
         scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
         interpret=interpret,
-    )(u, v, corr2, ids2, ids2, lse2, g2)
+    )(u, v, corr2, idsq2, idsk2, pos2, lse2, g2)
 
     dv, dcol = pl.pallas_call(
         _bwd_dv_kernel,
-        grid=(b // tk, b // tq),
+        grid=(bk // tk, bq // tq),
         in_specs=[
             pl.BlockSpec((tq, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
@@ -235,54 +267,108 @@ def _flash_bwd_raw(u, v, colcorr, ids, lse, g, interpret):
             pl.BlockSpec((1, tk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq), lambda j, i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda j, i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tk, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, b), jnp.float32),
+            jax.ShapeDtypeStruct((bk, d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, bk), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((tk, d), jnp.float32),
             pltpu.VMEM((1, tk), jnp.float32),
         ],
         interpret=interpret,
-    )(u, v, corr2, ids2, ids2, lse2, g2)
+    )(u, v, corr2, idsq2, idsk2, pos2, lse2, g2)
     return du, dv, dcol[0]
 
 
 # ---------------- custom-vjp wrapper --------------------------------------
 
 @jax.custom_vjp
-def flash_softmax_ce(u, v, colcorr, ids):
-    """Per-row CE [B] = lse_i - s_ii of the corrected, accidental-masked
-    in-batch logits. Differentiable w.r.t. u, v, colcorr."""
-    ce, _ = _flash_ce_fwd(u, v, colcorr, ids)
+def flash_softmax_ce(u, v, colcorr, ids_q, ids_k, pos_idx):
+    """Per-row CE [Bq] = lse_i - s_{i,pos_i} of the corrected,
+    accidental-masked logits of ``u [Bq, D]`` against candidates
+    ``v [Bk, D]``. Differentiable w.r.t. u, v, colcorr."""
+    ce, _ = _flash_ce_fwd(u, v, colcorr, ids_q, ids_k, pos_idx)
     return ce
 
 
-def _flash_ce_fwd(u, v, colcorr, ids):
+def _dense_masked_logits(u, v, colcorr, ids_q, ids_k, pos_idx):
+    s = jax.lax.dot_general(
+        u, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + colcorr[None, :]
+    col = jnp.arange(v.shape[0], dtype=jnp.int32)
+    accidental = (ids_q[:, None] == ids_k[None, :]) & (
+        col[None, :] != pos_idx[:, None]
+    )
+    return jnp.where(accidental, NEG_BIG, s)
+
+
+def _dense_ref_fwd(u, v, colcorr, ids_q, ids_k, pos_idx):
+    """Pure-jnp twin of the fwd kernel — used ONLY in interpret mode
+    inside a check_vma shard_map, where the pallas HLO interpreter's
+    internal dynamic_slices mix varying and invariant operands and trip
+    the vma checker (a CPU-test-harness limitation; on TPU the kernel
+    compiles under shard_map with the vma declared on its out_shapes)."""
+    s = _dense_masked_logits(u, v, colcorr, ids_q, ids_k, pos_idx)
+    lse = jax.nn.logsumexp(s, axis=-1)
+    pos = jnp.take_along_axis(s, pos_idx[:, None], axis=1)[:, 0]
+    return lse, pos
+
+
+def _dense_ref_bwd(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g):
+    """Pure-jnp twin of the bwd kernels (softmax part, pre-label-term)."""
+    s = _dense_masked_logits(u, v, colcorr, ids_q, ids_k, pos_idx)
+    p = jnp.exp(s - lse[:, None])
+    pg = p * g[:, None]
+    du = jax.lax.dot_general(
+        pg, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(
+        pg, u, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return du, dv, jnp.sum(pg, axis=0)
+
+
+def _use_dense_ref(*xs) -> bool:
+    return (not _on_tpu()) and bool(_vma(*xs))
+
+
+def _flash_ce_fwd(u, v, colcorr, ids_q, ids_k, pos_idx):
     # inputs may be bf16 (MXU-native); every reduction/accumulation
     # inside the kernels is fp32 via preferred_element_type
     interpret = not _on_tpu()
-    lse, pos = _flash_fwd_raw(u, v, colcorr, ids, interpret)
+    if _use_dense_ref(u, v, colcorr, ids_q, ids_k, pos_idx):
+        lse, pos = _dense_ref_fwd(u, v, colcorr, ids_q, ids_k, pos_idx)
+    else:
+        lse, pos = _flash_fwd_raw(
+            u, v, colcorr, ids_q, ids_k, pos_idx, interpret)
     ce = lse - pos
-    return ce, (u, v, colcorr, ids, lse)
+    return ce, (u, v, colcorr, ids_q, ids_k, pos_idx, lse)
 
 
 def _flash_ce_bwd(saved, g):
-    u_in, v_in, colcorr, ids, lse = saved
+    u_in, v_in, colcorr, ids_q, ids_k, pos_idx, lse = saved
     interpret = not _on_tpu()
-    du_sm, dv_sm, dcol = _flash_bwd_raw(
-        u_in, v_in, colcorr, ids, lse, g, interpret
-    )
-    # diagonal (label) terms: d/du_i of (-s_ii) = -g_i v_i, and symmetric
-    du = du_sm - g[:, None] * v_in.astype(jnp.float32)
-    dv = dv_sm - g[:, None] * u_in.astype(jnp.float32)
-    dcol = dcol - g
-    return du.astype(u_in.dtype), dv.astype(v_in.dtype), dcol, None
+    if _use_dense_ref(u_in, v_in, colcorr, ids_q, ids_k, pos_idx, lse, g):
+        du_sm, dv_sm, dcol = _dense_ref_bwd(
+            u_in, v_in, colcorr, ids_q, ids_k, pos_idx, lse, g)
+    else:
+        du_sm, dv_sm, dcol = _flash_bwd_raw(
+            u_in, v_in, colcorr, ids_q, ids_k, pos_idx, lse, g, interpret
+        )
+    # positive-column (label) terms: d/du_i of (-s_{i,pos_i}) =
+    # -g_i v_{pos_i}, and the scatter-symmetric dv/dcol corrections
+    # (pos_idx columns are unique by construction, so .at[].add has
+    # no duplicate-combining subtleties)
+    v_pos = jnp.take(v_in.astype(jnp.float32), pos_idx, axis=0)
+    du = du_sm - g[:, None] * v_pos
+    dv = dv_sm.at[pos_idx].add(-g[:, None] * u_in.astype(jnp.float32))
+    dcol = dcol.at[pos_idx].add(-g)
+    return (du.astype(u_in.dtype), dv.astype(v_in.dtype), dcol,
+            None, None, None)
 
 
 flash_softmax_ce.defvjp(_flash_ce_fwd, _flash_ce_bwd)
@@ -295,16 +381,36 @@ def in_batch_softmax_flash(
     mask: Optional[jnp.ndarray] = None,
     log_q: Optional[jnp.ndarray] = None,
     item_bias: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Drop-in equivalent of ``losses.in_batch_softmax`` (single-replica
-    path) backed by the flash kernel."""
+    """Drop-in equivalent of ``losses.in_batch_softmax`` backed by the
+    flash kernel. With ``axis_name`` set (inside ``shard_map``), the
+    candidate set is the item block all-gathered over that axis —
+    cross-batch (global) negatives; the positive column of local row i
+    is ``axis_index * B_local + i``. The all_gather sits outside the
+    custom_vjp, so its transpose (reduce-scatter of the dv cotangent)
+    is ordinary autodiff — the kernel itself stays single-device."""
     b = user_emb.shape[0]
     colcorr = jnp.zeros((b,), jnp.float32)
     if item_bias is not None:
         colcorr = colcorr + item_bias
     if log_q is not None:
         colcorr = colcorr - log_q
-    ce = flash_softmax_ce(user_emb, item_emb, colcorr, item_ids)
+    if axis_name is None:
+        cand, cand_ids, cand_corr = item_emb, item_ids, colcorr
+        pos_idx = jnp.arange(b, dtype=jnp.int32)
+    else:
+        from jax import lax
+
+        cand = lax.all_gather(item_emb, axis_name, axis=0, tiled=True)
+        cand_ids = lax.all_gather(item_ids, axis_name, axis=0, tiled=True)
+        cand_corr = lax.all_gather(colcorr, axis_name, axis=0, tiled=True)
+        pos_idx = (
+            jnp.arange(b, dtype=jnp.int32)
+            + lax.axis_index(axis_name).astype(jnp.int32) * b
+        )
+    ce = flash_softmax_ce(user_emb, cand, cand_corr, item_ids, cand_ids,
+                          pos_idx)
     if mask is not None:
         return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.mean(ce)

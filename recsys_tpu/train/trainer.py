@@ -482,7 +482,16 @@ class Trainer:
                     out, _ = lookup_a2a_inside(
                         table_shard, ids, ctx.model_axis, n_model, cap
                     )
-                    return out
+                    # reclaim replication AT THE SOURCE: the assembled
+                    # rows are numerically identical on every model
+                    # replica (same replicated ids, same exchange) but
+                    # the all_to_all leaves them vma-varying over model.
+                    # An exact pmean makes every downstream consumer —
+                    # loss, metrics, the flash-CE custom_vjp — see a
+                    # model-invariant value, and its transpose hands
+                    # each replica a 1/n_model cotangent whose backward
+                    # a2a contributions re-sum to exactly dL/drow.
+                    return _lax.pmean(out, ctx.model_axis)
 
                 cap_b = a2a_capacity(b_local, n_model, cap_factor)
                 tw = params["towers"]
@@ -539,17 +548,9 @@ class Trainer:
                 bias_rows = _lax.stop_gradient(jnp.take(
                     tw["item_bias"],
                     jnp.clip(mid_l, 0, tw["item_bias"].shape[0] - 1)))
-                if strategy == "a2a":
-                    # a2a outputs are numerically identical on every
-                    # model replica (same replicated batch, same
-                    # requests) but vma-varying; reclaim replication at
-                    # the VALUE level with an exact pmean so the whole
-                    # virtual loss — and therefore every row cotangent —
-                    # is unvarying over the model axis (otherwise the
-                    # model-pmean'd global loss hands each replica's
-                    # rows a 1/n_model cotangent)
-                    rows_u = _lax.pmean(rows_u, ctx.model_axis)
-                    rows_i = _lax.pmean(rows_i, ctx.model_axis)
+                # (the a2a lookup closure already pmean-reclaims model
+                # replication at the source, so rows_u/rows_i are
+                # model-invariant here)
                 virt_tw = {**tw, "user_table": rows_u,
                            "item_table": rows_i, "item_bias": bias_rows}
                 loss_params = {**params, "towers": virt_tw}
@@ -587,9 +588,10 @@ class Trainer:
                     lookup=loss_lookup,
                     data_axis_size=ctx.n_data,
                 )
+                # (no model-axis pmean needed: the a2a lookup reclaims
+                # model replication at the source, so the loss is
+                # already model-invariant)
                 gl = _lax.pmean(loss, ctx.data_axis)
-                if strategy == "a2a":
-                    gl = _lax.pmean(gl, ctx.model_axis)
                 return gl, metrics
 
             (loss, metrics), grads = jax.value_and_grad(
@@ -598,13 +600,6 @@ class Trainer:
             metrics = jax.tree.map(
                 lambda m: _lax.pmean(m, ctx.data_axis), metrics
             )
-            if strategy == "a2a":
-                # metric VALUES computed from a2a outputs are identical
-                # on every model replica but vma-inferred as varying —
-                # reclaim replication with an exact pmean over model
-                metrics = jax.tree.map(
-                    lambda m: _lax.pmean(m, ctx.model_axis), metrics
-                )
             if overflow is not None:
                 metrics["lookup_overflow"] = _lax.pmean(
                     overflow, ctx.data_axis

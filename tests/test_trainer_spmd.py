@@ -339,3 +339,18 @@ def test_a2a_overflow_warns_operator(tiny_bundle, tmp_path, caplog):
     msgs = [r.message for r in caplog.records if "overflow" in r.message]
     assert msgs, "no overflow warning logged despite tight capacity"
     assert "lookup_capacity_factor" in msgs[0]
+
+
+def test_spmd_step_flash_ce_global_negatives(batches, baseline):
+    """use_flash_ce=True now composes with global negatives inside the
+    explicit SPMD step (the round-2 gate at multitask.py is gone): the
+    rectangular flash path (local rows x all-gathered candidates) must
+    train to the same parameters as the replicated XLA baseline."""
+    ctx = make_mesh(model_parallel=2)
+    cfg = _cfg(model_parallel=2, sharding="rows", lookup="a2a")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_flash_ce=True))
+    params, metrics = _train_steps(cfg, ctx, batches)
+    _tree_close(params, baseline[0], what="flash-ce global negatives")
+    np.testing.assert_allclose(
+        metrics["loss"], baseline[1]["loss"], rtol=1e-4)
