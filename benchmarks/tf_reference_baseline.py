@@ -107,9 +107,20 @@ def main(argv=None) -> int:
     ap.add_argument("--learning_rate", type=float, default=1e-3)
     ap.add_argument("--ctr_weight", type=float, default=0.2)
     ap.add_argument("--rating_weight", type=float, default=0.2)
-    ap.add_argument("--eval_sample", type=int, default=1000)
+    ap.add_argument("--eval_sample", type=int, default=1000,
+                    help="0 = full val split")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--preset", choices=["cli", "dataclass"], default=None,
+                    help="cli = the reference's CLI defaults (the args "
+                         "above); dataclass = its ModelConfig defaults "
+                         "(/root/reference/src/config.py:14-40: dim 128, "
+                         "cross 3, 20 epochs, ctr_weight 2.0) with a "
+                         "full-split eval")
     args = ap.parse_args(argv)
+    if args.preset == "dataclass":
+        args.embedding_dim, args.cross_layers = 128, 3
+        args.epochs, args.ctr_weight = 20, 2.0
+        args.eval_sample = 0
 
     import tensorflow as tf
     from tensorflow import keras
@@ -206,7 +217,16 @@ def main(argv=None) -> int:
         top = np.argpartition(-scores, k, axis=1)[:, :k]
         report[f"recall@{k}"] = float(np.mean([
             vm[r] in top[r] for r in range(len(vm))]))
+        # the honesty anchor (VERDICT r2 weak #2): recall of a RANDOM
+        # ranker is k/catalog — a measured value below ~2 sigma of this
+        # floor means the recipe learned nothing retrieval-visible
+        floor = k / n_items
+        report[f"random_floor@{k}"] = round(floor, 6)
+        sigma = (floor * (1 - floor) / len(vm)) ** 0.5
+        report[f"beats_random@{k}"] = bool(
+            report[f"recall@{k}"] > floor + 2 * sigma)
     report.update({
+        "eval_rows": int(len(vm)),
         "train_wall_time_s": round(wall, 1),
         "examples_per_s_cpu": round(examples / wall, 1),
         "epochs": args.epochs,

@@ -100,6 +100,15 @@ class ModelConfig:
     # distribution; rankings at serving are unaffected (uniform score
     # scale). 1.0 = reference parity (tfrs.tasks.Retrieval has none).
     softmax_temperature: float = 1.0
+    # Ablation switches for the two retrieval-loss upgrades over the
+    # reference's plain tfrs.tasks.Retrieval() (logq_correction is the
+    # third, in TrainConfig): the learned per-item softmax bias column,
+    # and -inf masking of accidental duplicate-item hits in the in-batch
+    # candidates. Defaults on; turned off together (with logQ) they
+    # reproduce the reference's exact loss — the quality-attribution
+    # ablation BASELINE.md reports (VERDICT r2 item 2).
+    use_item_bias: bool = True
+    accidental_hit_mask: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "user_tower_dims", tuple(self.user_tower_dims))

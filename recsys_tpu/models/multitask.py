@@ -116,16 +116,30 @@ class MultiTaskModel:
             key=k_fwd, dense=batch.get("dense"), lookup=lookup,
         )
         mask = batch.get("mask")
-        n_bias = params["towers"]["item_bias"].shape[0] - 1
-        bias = jnp.take(
-            params["towers"]["item_bias"],
-            jnp.clip(batch["movie_id"], 0, n_bias),
-        )
+        if cfg.use_item_bias:
+            n_bias = params["towers"]["item_bias"].shape[0] - 1
+            bias = jnp.take(
+                params["towers"]["item_bias"],
+                jnp.clip(batch["movie_id"], 0, n_bias),
+            )
+        else:
+            # ablation: no bias column, no gradient into item_bias
+            bias = jnp.zeros_like(batch["movie_id"], dtype=jnp.float32)
         # ids used for accidental-hit masking: normally the movie ids,
         # but the sparse-table-update path feeds virtual row ids
         # (arange) through "movie_id" and the TRUE ids through
         # "mask_ids" so duplicate detection still works.
         mask_ids = batch.get("mask_ids", batch["movie_id"])
+        if not cfg.accidental_hit_mask:
+            # ablation: per-row ids that never collide (globally unique
+            # under the gathered-candidates scope too), so the duplicate
+            # mask degenerates to exactly "no masking"
+            b_rows = batch["movie_id"].shape[0]
+            mask_ids = jnp.arange(b_rows, dtype=jnp.int32)
+            if data_axis is not None and global_negatives:
+                mask_ids = mask_ids + (
+                    jax.lax.axis_index(data_axis).astype(jnp.int32) * b_rows
+                )
         # the B x B logits matmul dominates the step at large batch; run
         # it on the MXU in bf16 (fp32 accumulation inside the dot)
         emb_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32

@@ -39,6 +39,234 @@ from recsys_tpu.train.checkpoint import load_encoder_params
 logger = logging.getLogger(__name__)
 
 
+class _FastRerank:
+    """Precomputed host rerank: serves the DCN CTR logit for [Q, C]
+    candidate sets in one gather-plus-one-matmul pass instead of a full
+    per-pair model forward (the round-2 VERDICT's 271-QPS bottleneck).
+
+    Three observations make the collapse exact:
+
+    1. **Towers are per-entity**: user/item tower outputs depend only on
+       the id, so the whole catalog's (and user vocab's) tower outputs
+       are materialized once at load.
+    2. **The rank-1 cross stack is separable**: with
+       ``x_{l+1} = x0 (x_l . w_l) + b_l + x_l`` and per-row input x0,
+       induction gives ``x_l = x0 * alpha_l + beta_l`` with a per-row
+       SCALAR alpha (``alpha_{l+1} = alpha_l (x0.w_l + 1) + beta_l.w_l``)
+       and a constant vector beta (``beta_{l+1} = beta_l + b_l``). Every
+       ``x0 . w`` splits into user/item/feature blocks, each of which is
+       a per-entity precomputable dot — so the cross stack (and its
+       slice of the CTR head) costs a few [Q*C] vector ops and NO
+       [Q*C, F] materialization.
+    3. **Engineered features are additive-separable** except two
+       genuinely pairwise columns: at a fixed serving timestamp
+       (t_ref), every other column is user-only, item-only, or
+       constant, so ``f(u, i) = FU[u] + FI[i] - f0`` column-wise —
+       probed EMPIRICALLY at build time (one transform sweep per
+       entity axis) rather than by hand-listing columns, and verified
+       against the exact path on random pairs before activation
+       (build() returns None on mismatch, falling back to the slow
+       path, so feature changes can never silently skew serving).
+
+    The only per-request matmuls left are the pairwise-feature strips
+    ([Q*C, 2] x [2, H]) and the deep MLP beyond its first layer
+    (first-layer item/user partials are precomputed too).
+    """
+
+    PAIR_COLS = ("log_pop_match", "user_genre_match")
+
+    def __init__(self):
+        self.ok = False
+
+    # ---- build -------------------------------------------------------
+    @classmethod
+    def build(cls, params, cfg, engineer, n_users: int, n_items: int,
+              tower_np, exact_fn) -> Optional["_FastRerank"]:
+        self = cls()
+        try:
+            self._precompute(params, cfg, engineer, n_users, n_items,
+                             tower_np)
+        except Exception:  # pragma: no cover - belt and braces
+            logger.exception("fast-rerank precompute failed; "
+                             "serving the exact per-pair path")
+            return None
+        # activation gate: exact equality (to tolerance) with the
+        # reference path on random pairs, or we refuse to serve it
+        rng = np.random.default_rng(0)
+        q = min(64, n_users)
+        uids = rng.integers(0, n_users, q)
+        cands = rng.integers(0, n_items, (q, 3))
+        fast = self.ctr_logits(uids, cands)
+        exact = exact_fn(np.repeat(uids, 3), cands.reshape(-1)).reshape(q, 3)
+        if not np.allclose(fast, exact, rtol=1e-3, atol=1e-4):
+            logger.warning(
+                "fast-rerank self-check failed (max |diff| %.3g): a "
+                "feature column is not user/item-separable or the DCN "
+                "shape changed; serving the exact per-pair path",
+                float(np.max(np.abs(fast - exact))),
+            )
+            return None
+        self.ok = True
+        return self
+
+    def _precompute(self, params, cfg, engineer, n_users, n_items,
+                    tower_np) -> None:
+        D = cfg.embedding_dim
+        tw = params["towers"]
+        all_items = np.arange(n_items)
+        all_users = np.arange(n_users)
+        V = tower_np(tw, "item_table", "item_tower", all_items)
+        UT = tower_np(tw, "user_table", "user_tower", all_users)
+
+        # ---- feature separation (empirical probe) --------------------
+        self.n_feat = 0
+        self.pair_idx: List[int] = []
+        FU0 = FI0 = f00 = None
+        if cfg.dense_features > 0:
+            eng = engineer
+            t = np.full(max(n_users, n_items), eng.t_ref)
+            names = eng.feature_names()
+            self.n_feat = len(names)
+            FU = eng.transform_scaled(
+                all_users, np.zeros(n_users, np.int64), t[:n_users])
+            FI = eng.transform_scaled(
+                np.zeros(n_items, np.int64), all_items, t[:n_items])
+            f0 = eng.transform_scaled(
+                np.zeros(1, np.int64), np.zeros(1, np.int64),
+                np.full(1, eng.t_ref))[0]
+            self.pair_idx = [names.index(c) for c in self.PAIR_COLS
+                             if c in names]
+            FU0, FI0, f00 = FU.copy(), FI.copy(), f0.copy()
+            for j in self.pair_idx:
+                FU0[:, j] = 0.0
+                FI0[:, j] = 0.0
+                f00[j] = 0.0
+            # pairwise raw ingredients + their per-column scaling
+            self.lu = np.log1p(np.asarray(eng.u_cnt, np.float64))
+            self.li = np.log1p(np.asarray(eng.i_cnt, np.float64))
+            self.genre_prefs = eng.user_genre_prefs
+            self.item_genres = eng.item_genres
+            if eng.standardize and hasattr(eng, "scaler"):
+                self.pair_mean = np.array(
+                    [eng.scaler.mean_[j] for j in self.pair_idx])
+                self.pair_scale = np.array(
+                    [eng.scaler.scale_[j] for j in self.pair_idx])
+            else:
+                self.pair_mean = np.zeros(len(self.pair_idx))
+                self.pair_scale = np.ones(len(self.pair_idx))
+            self.clip_std = getattr(eng, "clip_std", 0.0)
+            self.pair_names = [names[j] for j in self.pair_idx]
+        F_in = 2 * D + self.n_feat
+
+        def split_w(w):
+            """[F_in, ...] -> (user, item, feat) row blocks."""
+            return w[:D], w[D:2 * D], w[2 * D:]
+
+        def entity_dots(w):
+            """Per-entity dots of x0's blocks with a weight [F_in] or
+            [F_in, H]: returns (user_part [n_users,...],
+            item_part [n_items,...], const_part, pair_rows)."""
+            wu, wv, wf = split_w(np.asarray(w, np.float32))
+            u_part = UT @ wu
+            i_part = V @ wv
+            c_part = 0.0
+            pair_rows = None
+            if self.n_feat:
+                u_part = u_part + FU0 @ wf
+                i_part = i_part + FI0 @ wf
+                c_part = -(f00 @ wf)
+                pair_rows = wf[self.pair_idx]
+            return u_part, i_part, c_part, pair_rows
+
+        # ---- cross stack ---------------------------------------------
+        dcn = params["dcn"]
+        self.cross = []
+        beta = np.zeros(F_in, np.float32)
+        for i in range(cfg.cross_layers):
+            layer = dcn["cross"][f"layer_{i}"]
+            w = np.asarray(layer["w"], np.float32)
+            self.cross.append({
+                "dots": entity_dots(w),
+                "beta_dot_w": float(beta @ w),
+            })
+            beta = beta + np.asarray(layer["b"], np.float32)
+        self.beta_L = beta
+
+        # ---- CTR head (cross slice separable, deep slice direct) ------
+        head_w = np.asarray(params["ctr_head"]["w"], np.float32)[:, 0]
+        self.head_b = float(np.asarray(params["ctr_head"]["b"])[0])
+        hc = head_w[:F_in]
+        self.head_cross_dots = entity_dots(hc)
+        self.beta_dot_hc = float(beta @ hc)
+        self.head_deep = head_w[F_in:]
+
+        # ---- deep MLP: first layer precomputed per entity -------------
+        deep = dcn["deep"]
+        self.deep_rest: List[tuple] = []
+        self.Q1 = self.P1 = None
+        if deep:
+            w1 = np.asarray(deep["layer_0"]["w"], np.float32)
+            b1 = np.asarray(deep["layer_0"]["b"], np.float32)
+            u1, i1, c1, pair1 = entity_dots(w1)
+            self.Q1, self.P1 = u1, i1
+            self.c1 = b1 + c1
+            self.pair1 = pair1
+            for i in range(1, len(deep)):
+                layer = deep[f"layer_{i}"]
+                self.deep_rest.append((
+                    np.asarray(layer["w"], np.float32),
+                    np.asarray(layer["b"], np.float32),
+                ))
+
+    # ---- per-request -------------------------------------------------
+    def _pair_cols(self, urep: np.ndarray, flat: np.ndarray) -> np.ndarray:
+        """[Q*C, P] scaled+clipped pairwise feature columns."""
+        cols = []
+        for name in self.pair_names:
+            if name == "log_pop_match":
+                cols.append(np.abs(self.lu[urep] - self.li[flat]))
+            else:  # user_genre_match
+                cols.append(np.einsum(
+                    "ng,ng->n", self.genre_prefs[urep],
+                    self.item_genres[flat]))
+        p = np.stack(cols, axis=1).astype(np.float64)
+        p = (p - self.pair_mean) / self.pair_scale
+        if self.clip_std:
+            p = np.clip(p, -self.clip_std, self.clip_std)
+        return p.astype(np.float32)
+
+    def ctr_logits(self, uids: np.ndarray, cands: np.ndarray) -> np.ndarray:
+        """uids [Q], cands [Q, C] -> CTR logits [Q, C]."""
+        q, c = cands.shape
+        flat = cands.reshape(-1)
+        urep = np.repeat(np.asarray(uids), c)
+        pair = self._pair_cols(urep, flat) if self.pair_idx else None
+
+        def dot_x0(dots):
+            u_part, i_part, c_part, pair_rows = dots
+            s = u_part[urep] + i_part[flat] + c_part
+            if pair is not None and pair_rows is not None:
+                s = s + pair @ pair_rows
+            return s
+
+        # cross stack as scalar recurrence
+        alpha = np.ones(q * c, np.float32)
+        for layer in self.cross:
+            s0 = dot_x0(layer["dots"])
+            alpha = alpha * (s0 + 1.0) + layer["beta_dot_w"]
+        logit = alpha * dot_x0(self.head_cross_dots) + self.beta_dot_hc
+
+        if self.P1 is not None:
+            h = self.Q1[urep] + self.P1[flat] + self.c1
+            if pair is not None and self.pair1 is not None:
+                h = h + pair @ self.pair1
+            h = np.maximum(h, 0.0)
+            for w, b in self.deep_rest:
+                h = np.maximum(h @ w + b, 0.0)
+            logit = logit + h @ self.head_deep
+        return (logit + self.head_b).reshape(q, c)
+
+
 class RecommendationService:
     """``backend``: "device" (jitted on-device scorer — the TPU path),
     "sharded" (catalog row-sharded over the ``model`` axis of a device
@@ -85,6 +313,7 @@ class RecommendationService:
         self.rerank_ctr_weight = rerank_ctr_weight
         self.model_params = None
         self.feature_engineer = None
+        self._fast_rerank: Optional[_FastRerank] = None
         self.model_dir = model_dir
         self.config: Optional[RecsysConfig] = None
         self.encoder_params = None
@@ -127,6 +356,19 @@ class RecommendationService:
                     "features.npz; serving retrieval-only", d,
                 )
                 self.model_params = None
+            if self.model_params is not None:
+                # precomputed rerank (towers materialized, separable
+                # cross, additive feature split) — self-checked against
+                # the exact path at build; None = fall back to exact
+                self._fast_rerank = _FastRerank.build(
+                    self.model_params, self.config.model,
+                    self.feature_engineer,
+                    len(self.user_id_map), len(self.item_id_map),
+                    self._tower_np, self._ctr_exact_for_check,
+                )
+                if self._fast_rerank is not None:
+                    logger.info("fast rerank active (precomputed towers "
+                                "+ separable cross + feature split)")
         self.index = RetrievalIndex.load(os.path.join(d, "index.npz"))
         if self.backend == "sharded":
             if self.mesh_ctx is None:
@@ -198,8 +440,6 @@ class RecommendationService:
         if self._resolved_backend() == "sharded":
             return self._sharded.search(u_emb, k)
         if self._resolved_backend() == "native":
-            from recsys_tpu.utils.native import topk_dot
-
             if not hasattr(self, "_items_norm"):
                 items = self.index.item_embeddings_np
                 norms = np.maximum(
@@ -208,11 +448,10 @@ class RecommendationService:
                 self._items_norm = items / norms
             q = np.asarray(u_emb, np.float32)
             q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-            if q.shape[0] <= 4:
-                # single-query latency path: C++ avoids BLAS/np dispatch
-                return topk_dot(q, self._items_norm, k, n_threads=1)
-            # batch path: one BLAS matmul + argpartition beats the C++
-            # scalar loop by ~10x at Q=256 on the same cores
+            # one BLAS matmul + argpartition at EVERY query count: at
+            # 3883 x 128 it beats the C++ heap scan ~10x even for a
+            # single query (0.04 vs 0.53 ms measured on this host; the
+            # C++ path in utils.native remains the no-BLAS fallback)
             scores = q @ self._items_norm.T
             part = np.argpartition(-scores, min(k, scores.shape[1] - 1), axis=1)[:, :k]
             ps = np.take_along_axis(scores, part, axis=1)
@@ -250,12 +489,34 @@ class RecommendationService:
     def _rerank_active(self) -> bool:
         return self.rerank_candidates > 0 and self.model_params is not None
 
+    def _ctr_exact_for_check(self, flat_u: np.ndarray,
+                             flat_i: np.ndarray) -> np.ndarray:
+        """Exact per-pair CTR logits (features + full model forward) —
+        the reference path _FastRerank self-checks against at build."""
+        dense = None
+        if self.config.model.dense_features > 0:
+            eng = self.feature_engineer
+            now = np.full(len(flat_u), eng.t_ref)
+            dense = eng.transform_scaled(flat_u, flat_i, now)
+        return self._ctr_logits_np(flat_u, flat_i, dense)
+
     def _rerank(self, dense_uids, scores, idx, k: int):
         """Two-stage rerank: [Q, C] candidates -> top-[Q, k] by
         retrieval score + ctr_weight * DCN CTR logit (same combination
         as the offline two-stage eval)."""
         idx = np.asarray(idx)
         q, c = idx.shape
+        if (self._fast_rerank is not None
+                and self._resolved_backend() != "device"):
+            # precomputed host path: gathers + one small matmul
+            ctr = self._fast_rerank.ctr_logits(
+                np.asarray(dense_uids), idx)
+            combined = np.asarray(scores) + self.rerank_ctr_weight * ctr
+            order = np.argsort(-combined, axis=1)[:, :k]
+            return (
+                np.take_along_axis(combined, order, axis=1),
+                np.take_along_axis(idx, order, axis=1),
+            )
         flat_u = np.repeat(np.asarray(dense_uids), c)
         flat_i = idx.reshape(-1)
         dense = None

@@ -103,3 +103,41 @@ def test_negative_sampler(tiny_bundle, strategy):
         # hard negatives are drawn from most-popular unseen
         pop = s.item_popularity
         assert pop[negs[0]].min() >= np.median(pop)
+
+
+def test_download_ml1m_guarded(tmp_path):
+    """The real-data downloader is network-guarded: in a zero-egress
+    environment it exits 3 with guidance instead of hanging, and a
+    present-and-plausible ratings.dat short-circuits to success. The
+    checksum gate refuses a tampered archive."""
+    import scripts.download_ml1m as dl
+
+    if dl.network_available(timeout=1.0):
+        import pytest
+
+        pytest.skip("network available - guarded branch not exercisable")
+    assert dl.main(["--dest", str(tmp_path)]) == 3
+    # existing plausible file short-circuits
+    p = tmp_path / "ratings.dat"
+    p.write_bytes(b"x" * 10_000_001)
+    assert dl.main(["--dest", str(tmp_path)]) == 0
+
+
+def test_download_ml1m_checksum_gate(monkeypatch, tmp_path):
+    """A wrong-MD5 archive is refused before unpacking."""
+    import io as _io
+    import urllib.request
+
+    import scripts.download_ml1m as dl
+
+    class FakeResp(_io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(urllib.request, "urlopen",
+                        lambda url, timeout=0: FakeResp(b"not a zip"))
+    assert dl.download(str(tmp_path)) == 2
+    assert not (tmp_path / "ratings.dat").exists()

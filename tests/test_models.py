@@ -258,3 +258,49 @@ def test_in_batch_softmax_bf16_logits_close():
         denom = np.maximum(np.abs(np.asarray(a)), 1e-2)
         rel = np.abs(np.asarray(a) - np.asarray(bgrad)) / denom
         assert np.median(rel) < 0.1
+
+
+def test_ablation_flags_reproduce_plain_retrieval_loss():
+    """use_item_bias=False + accidental_hit_mask=False (+ no log_q in
+    the batch) must make the retrieval term exactly the reference's
+    plain tfrs Retrieval: CE over U@V.T with diagonal labels, no
+    corrections (the BASELINE.md attribution ablation)."""
+    import dataclasses
+
+    import jax
+
+    from recsys_tpu.models.multitask import MultiTaskModel
+
+    cfg = ModelConfig(embedding_dim=8, user_tower_dims=(16,),
+                      item_tower_dims=(16,), cross_layers=1, dnn_dims=(8,),
+                      dropout_rate=0.0, mixed_precision=False)
+    cfg_ab = dataclasses.replace(cfg, use_item_bias=False,
+                                 accidental_hit_mask=False)
+    params = MultiTaskModel.init(jax.random.PRNGKey(0), cfg, 30, 40)
+    rng = np.random.default_rng(2)
+    b = 32
+    batch = {
+        # duplicate items on purpose: masking-off must score them as
+        # ordinary negatives
+        "user_id": jnp.asarray(rng.integers(0, 30, b).astype(np.int32)),
+        "movie_id": jnp.asarray(rng.integers(0, 6, b).astype(np.int32)),
+        "rating": jnp.asarray(rng.uniform(1, 5, b).astype(np.float32)),
+        "y_implicit": jnp.asarray((rng.random(b) > 0.5).astype(np.float32)),
+    }
+    _, m_ab = MultiTaskModel.loss(params, cfg_ab, batch, train=False)
+    out = MultiTaskModel.apply(params, cfg, batch["user_id"],
+                               batch["movie_id"], train=False)
+    u, v = np.asarray(out.user_embedding), np.asarray(out.item_embedding)
+    logits = u @ v.T
+    lse = np.log(np.exp(logits - logits.max(1, keepdims=True)).sum(1)) \
+        + logits.max(1)
+    plain_ce = float(np.mean(lse - np.diag(logits)))
+    np.testing.assert_allclose(float(m_ab["retrieval_loss"]), plain_ce,
+                               rtol=1e-5)
+    # and the full config must differ (bias + masking are live)
+    _, m_full = MultiTaskModel.loss(params, cfg, batch, train=False)
+    assert abs(float(m_full["retrieval_loss"]) - plain_ce) > 1e-6
+    # no gradient reaches item_bias when ablated
+    g = jax.grad(lambda p: MultiTaskModel.loss(p, cfg_ab, batch,
+                                               train=False)[0])(params)
+    assert float(np.abs(np.asarray(g["towers"]["item_bias"])).max()) == 0.0

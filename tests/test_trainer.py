@@ -151,7 +151,7 @@ def test_sparse_table_updates_match_dense():
             eval=EvalConfig(topk=(5,)),
         )
         ctx = make_mesh(model_parallel=1)
-        tr = Trainer(cfg, output_dir="/tmp/sparse_eq", mesh_ctx=ctx)
+        tr = Trainer(cfg, output_dir="/tmp/sparse_eq_" + str(os.getpid()), mesh_ctx=ctx)
         state = tr.init_state(n_users, n_items, seed=0)
         tr._state_for_shape = state
         step = jax.jit(tr._step_core((1.2, 0.9), False))
@@ -195,7 +195,7 @@ def test_sparse_table_updates_sharded_rows():
         eval=EvalConfig(topk=(5,)),
     )
     ctx = make_mesh(model_parallel=2)
-    tr = Trainer(cfg, output_dir="/tmp/sparse_sh", mesh_ctx=ctx)
+    tr = Trainer(cfg, output_dir="/tmp/sparse_sh_" + str(os.getpid()), mesh_ctx=ctx)
     state = tr.init_state(n_users, n_items, seed=0)
     tr._state_for_shape = state
     step = tr.make_train_step((1.0, 1.0), batch, False)

@@ -15,6 +15,7 @@ Equivalence anchors:
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -70,7 +71,7 @@ def _batches(n_steps, seed=0):
 
 
 def _train_steps(cfg, ctx, batches, use_explicit_negs=False):
-    trainer = Trainer(cfg, output_dir="/tmp/spmd_test", mesh_ctx=ctx)
+    trainer = Trainer(cfg, output_dir="/tmp/spmd_test_" + str(os.getpid()), mesh_ctx=ctx)
     state = trainer.init_state(N_USERS, N_ITEMS, seed=3)
     trainer._state_for_shape = state
     step = trainer.make_train_step(
@@ -167,7 +168,7 @@ def test_per_replica_negatives_semantics(batches):
     ctx = make_mesh(model_parallel=1)
     n_data = ctx.n_data
     cfg = _cfg(global_negs=False)
-    trainer = Trainer(cfg, output_dir="/tmp/spmd_test_pr", mesh_ctx=ctx)
+    trainer = Trainer(cfg, output_dir="/tmp/spmd_test_pr_" + str(os.getpid()), mesh_ctx=ctx)
     assert trainer._use_spmd_step()
     state = trainer.init_state(N_USERS, N_ITEMS, seed=3)
     trainer._state_for_shape = state
