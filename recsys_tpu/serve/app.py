@@ -146,6 +146,16 @@ class Api:
         self.service_factory = service_factory
         self._reload_lock = threading.Lock()
         self.reload_count = 0
+        # single-flight compute: the host service is GIL-bound NumPy at
+        # sub-millisecond per call, so letting N handler threads score
+        # concurrently just convoys the GIL (measured on this 2-core
+        # host: 16 concurrent handlers drive unbatched /recommend from
+        # ~1,700 QPS (1 client) down to ~50 QPS, p95 > 1 s). Serializing
+        # the compute parks waiting handlers in the kernel instead;
+        # requests still parse/respond concurrently. The micro-batcher
+        # supersedes this lock when configured (it has its own single
+        # dispatcher).
+        self._compute_lock = threading.Lock()
 
     def admin_reload(self) -> Tuple[int, Dict]:
         if self.service_factory is None:
@@ -219,7 +229,8 @@ class Api:
         if self.batcher is not None:
             recs = self.batcher.recommend(body["user_id"], k)
         else:
-            recs = self.service.recommend(body["user_id"], k)
+            with self._compute_lock:
+                recs = self.service.recommend(body["user_id"], k)
         return 200, {
             "user_id": body["user_id"],
             "recommendations": recs,
@@ -239,7 +250,8 @@ class Api:
         k = body.get("k", 10)
         _require(isinstance(k, int) and 1 <= k <= MAX_K,
                  f"k must be int in [1, {MAX_K}]")
-        results = self.service.recommend_batch(users, k)
+        with self._compute_lock:
+            results = self.service.recommend_batch(users, k)
         return 200, {
             "results": results,
             "count": len(results),
@@ -257,7 +269,8 @@ class Api:
             f"item_ids must be a list of 1..{MAX_SCORE_ITEMS} ints",
         )
         try:
-            scores = self.service.score(body["user_id"], items)
+            with self._compute_lock:
+                scores = self.service.score(body["user_id"], items)
         except ValueError as e:  # unknown user/item -> 404 (app/main.py:167-171)
             return 404, {"detail": str(e)}
         return 200, {

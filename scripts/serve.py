@@ -17,6 +17,8 @@ import logging
 
 
 def main(argv=None) -> int:
+    import sys as _sys
+
     ap = argparse.ArgumentParser(description="Serve recommendations over HTTP")
     ap.add_argument("--model_dir", default="outputs/models/experiment_001/serving")
     ap.add_argument("--host", default="0.0.0.0")
@@ -53,6 +55,24 @@ def main(argv=None) -> int:
                          "restarting (unauthenticated - trusted networks "
                          "only)")
     args = ap.parse_args(argv)
+
+    if args.workers > 1:
+        # Single-threaded BLAS per worker, set BEFORE numpy loads
+        # (recsys_tpu imports happen below): OpenBLAS's spin-waiting
+        # pool threads fight across worker processes on few cores.
+        # With one worker the default pool is kept — the rerank matmul
+        # uses every core.
+        for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                   "MKL_NUM_THREADS"):
+            os.environ.setdefault(_v, "1")
+
+    if args.workers == 1:
+        # sub-ms GIL-bound request handling + many keep-alive handler
+        # threads: a shorter switch interval cuts the GIL-convoy tail
+        # latency (see Api._compute_lock in serve/app.py). With >1
+        # worker processes on few cores the extra switching only feeds
+        # the cross-process preemption convoy, so leave the default.
+        _sys.setswitchinterval(0.0005)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s: %(message)s")

@@ -152,3 +152,78 @@ def test_two_process_model_parallel_a2a(tiny_raw, tmp_path):
     for e_mh, e_sp in zip(hist["epochs"], hist_sp["epochs"]):
         assert abs(e_mh["train_loss"] - e_sp["train_loss"]) < 5e-3, (
             e_mh, e_sp)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_serving(tiny_raw, tmp_path):
+    """The multi-chip FAISS replacement across REAL process boundaries
+    (VERDICT r2 item 6): catalog row-sharded over a 2-process x 4-device
+    mesh, ``/recommend`` answered over real HTTP through
+    ``backend="sharded"`` (per-shard top-k + cross-process merge over
+    Gloo, request uids relayed with broadcast_one_to_all), answers
+    identical to a single-process service on the same bundle."""
+    from recsys_tpu.config import (
+        EvalConfig, ModelConfig, RecsysConfig, TrainConfig,
+    )
+    from recsys_tpu.data.preprocessing import preprocessing_pipeline
+    from recsys_tpu.serve.service import RecommendationService
+    from recsys_tpu.train.trainer import Trainer
+
+    bundle = preprocessing_pipeline(
+        tiny_raw["ratings"], tiny_raw["movies"], tiny_raw["users"])
+    out = str(tmp_path / "model")
+    cfg = RecsysConfig(
+        model=ModelConfig(embedding_dim=8, user_tower_dims=(16,),
+                          item_tower_dims=(16,), cross_layers=1,
+                          dnn_dims=(8,), dropout_rate=0.0,
+                          mixed_precision=False),
+        train=TrainConfig(batch_size=128, epochs=1, log_every_steps=10),
+        eval=EvalConfig(topk=(5,), eval_batch_size=256),
+    )
+    Trainer(cfg, output_dir=out).train(bundle)
+    model_dir = os.path.join(out, "serving")
+
+    ref = RecommendationService(model_dir, backend="device").load()
+    uids = list(ref.user_id_map.keys())[:6]
+    expected = {str(u): [r["item_id"] for r in ref.recommend(u, 5)]
+                for u in uids}
+    expected_scores = {str(u): [r["score"] for r in ref.recommend(u, 5)]
+                       for u in uids}
+
+    port = _free_port()
+    out_json = str(tmp_path / "sharded_answers.json")
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_PROCESSES",
+                            "JAX_COORDINATOR_ADDRESS", "JAX_PROCESS_ID")}
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "sharded_serve_worker.py"),
+             model_dir, out_json, json.dumps([int(u) for u in uids])],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o)
+    assert [p.returncode for p in procs] == [0, 0], \
+        "\n".join(o[-3000:] for o in outs)
+    got = json.load(open(out_json))
+    for u in map(str, uids):
+        ids = [r["item_id"] for r in got[u]["recommendations"]]
+        assert ids == expected[u], (u, ids, expected[u])
+        np.testing.assert_allclose(
+            [r["score"] for r in got[u]["recommendations"]],
+            expected_scores[u], rtol=1e-5, atol=1e-6)
