@@ -270,15 +270,20 @@ def bench_train_step(out_path=None):
                 state = tr.init_state(n_users, n_items, seed=0)
                 tr._state_for_shape = state
                 step = tr.make_train_step(class_weights=(1.3, 0.8),
-                                          example_batch=batch_np)
+                                          example_batch=batch_np,
+                                          use_explicit_negs=False)
                 placed = shard_batch(ctx, batch_np)
                 state, m = step(state, placed)
-                jax.block_until_ready(state.params)
-                reps = 10
+                float(np.asarray(m["loss"]))  # hard barrier (host read)
+                # enough reps to swamp the remote-platform dispatch
+                # queue: block_until_ready alone under-measures until
+                # the async queue backpressures (observed 0.6 "ms/step"
+                # at 5 reps vs the real 28 ms at 20+)
+                reps = 30
                 t0 = time.perf_counter()
                 for _ in range(reps):
                     state, m = step(state, placed)
-                jax.block_until_ready(state.params)
+                float(np.asarray(m["loss"]))
                 dt = (time.perf_counter() - t0) / reps
                 row[f"{tag}_step_ms"] = round(dt * 1e3, 2)
                 row[f"{tag}_examples_per_s"] = round(bsz / dt)

@@ -77,14 +77,17 @@ class ModelConfig:
     # the kernel. Equivalence-tested vs the XLA path; interpret on CPU.
     use_pallas_dcn: bool = False
     # run the retrieval loss through the flash sampled-softmax Pallas
-    # kernel (ops/pallas/flash_ce.py): never materializes [B, B] logits
-    # in HBM. Measured regime map (v5e, dim 128, loss+grad — see
-    # benchmarks/results/kernels_tpu.json): through B=64k the XLA
-    # bf16-logits path wins (bf16_retrieval_logits above), so this stays
-    # False; at B>=128k NO logits matrix fits 16 GB HBM at any dtype and
-    # flash is the best (and only fast) path — 383 ms/step vs 569 ms for
-    # the jax.checkpoint chunked-scan XLA fallback (1.49x). Turn on for
-    # B>=128k single-chip in-batch softmax.
+    # kernel (ops/pallas/flash_ce.py): never materializes the
+    # [B, n_candidates] logits in HBM. Composes with global_negatives
+    # (rectangular kernel over the all-gathered candidate block inside
+    # the SPMD step — round 3; equivalence-tested vs the XLA path).
+    # Measured regime map (v5e, dim 128 — kernels_tpu.json): through
+    # B=64k the XLA bf16-logits path wins (bf16_retrieval_logits above;
+    # FULL train step at B=32k: 27.9 ms XLA vs 38.2 flash), so this
+    # stays False; at B>=128k NO logits matrix fits 16 GB HBM at any
+    # dtype — the XLA step OOMs while flash runs the full train step at
+    # 476 ms (275k examples/s, kernels_tpu.json "train_step_flash").
+    # Turn on for B>=128k.
     use_flash_ce: bool = False
     # Width of the engineered dense-feature vector concatenated into the
     # DCN ranking input (x0 = [user_emb | item_emb | dense]). 0 = ids
