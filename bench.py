@@ -3,12 +3,14 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline: the SELF-MEASURED reference-equivalent TF/Keras run on this
-container's CPU — 22,138 examples/s
+container's CPU — 49,447 examples/s
 (``benchmarks/tf_reference_baseline.py`` with the reference CLI
-defaults; ``benchmarks/results/tf_reference_cpu.json``). That supersedes
-the round-1 denominator inferred from the reference's only published
-wall-clock figure (~5 min / 5 epochs => ~13,300 ex/s,
-``QUICK_START.md:53``); ``vs_baseline`` = our examples/s/chip / 22,138.
+defaults; ``benchmarks/results/tf_reference_cpu.json``). Revision
+history of the denominator, most-honest-wins: round 1 inferred ~13,300
+ex/s from the reference's only published wall-clock figure
+(``QUICK_START.md:53``); round 2 measured 22,138 on a contended host;
+round 3 re-measured 49,447 on an idle host and takes THAT (a 2.2×
+stricter denominator). ``vs_baseline`` = our examples/s/chip / 49,447.
 
 Run: python bench.py [--steps N] [--batch B] [--dim D] [--quick]
 """
@@ -23,7 +25,7 @@ import time
 
 import numpy as np
 
-REFERENCE_EXAMPLES_PER_S = 22_138.0  # measured, see docstring
+REFERENCE_EXAMPLES_PER_S = 49_447.0  # measured, see docstring
 BENCH_BUNDLE = "data/processed/bench_bundle.npz"
 
 

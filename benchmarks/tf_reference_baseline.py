@@ -110,6 +110,15 @@ def main(argv=None) -> int:
     ap.add_argument("--eval_sample", type=int, default=1000,
                     help="0 = full val split")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--filter_seen", action="store_true",
+                    help="mask each user's train items before top-k "
+                         "(protocol-matching knob: the reference never "
+                         "filters, but on the synthetic data the "
+                         "generator picks each user's HIGHEST-affinity "
+                         "items as their history, so unfiltered "
+                         "recall@k is near the random floor for ANY "
+                         "model — this isolates model quality from "
+                         "that artifact)")
     ap.add_argument("--preset", choices=["cli", "dataclass"], default=None,
                     help="cli = the reference's CLI defaults (the args "
                          "above); dataclass = its ModelConfig defaults "
@@ -225,6 +234,21 @@ def main(argv=None) -> int:
         sigma = (floor * (1 - floor) / len(vm)) ** 0.5
         report[f"beats_random@{k}"] = bool(
             report[f"recall@{k}"] > floor + 2 * sigma)
+    if args.filter_seen:
+        # second protocol in the same run: mask each eval user's train
+        # interactions (the TPU framework's EvalConfig.filter_seen)
+        tu, tm = bundle["train/user_id"], bundle["train/movie_id"]
+        seen = {}
+        for u, m in zip(tu, tm):
+            seen.setdefault(int(u), []).append(int(m))
+        for r, u in enumerate(vu):
+            s = seen.get(int(u))
+            if s:
+                scores[r, s] = -np.inf
+        for k in (5, 10, 20, 50):
+            top = np.argpartition(-scores, k, axis=1)[:, :k]
+            report[f"filtered_recall@{k}"] = float(np.mean([
+                vm[r] in top[r] for r in range(len(vm))]))
     report.update({
         "eval_rows": int(len(vm)),
         "train_wall_time_s": round(wall, 1),
