@@ -99,6 +99,23 @@ def main() -> int:
     ]))
     report("blockwise approx top-k", recall >= 0.95, f"recall@{k}={recall:.4f}")
 
+    # ---- flash exact top-k (Pallas running-top-k) --------------------
+    from recsys_tpu.ops.pallas.topk_flash import flash_topk
+
+    s_fl, i_fl = flash_topk(q, items, k, bf16=False)
+    s_rf, i_rf = topk_scores(q, items, k)  # same normalize=True default
+    err = float(np.max(np.abs(np.asarray(s_fl) - np.asarray(s_rf))))
+    ids_eq = bool(np.array_equal(np.asarray(i_fl), np.asarray(i_rf)))
+    report("flash_topk f32 exact", err < 1e-4 and ids_eq,
+           f"max_err={err:.2e} ids_equal={ids_eq}")
+    _, i_bf = flash_topk(q, items, k, bf16=True)
+    recall_bf = float(np.mean([
+        len(set(np.asarray(a)) & set(np.asarray(b))) / k
+        for a, b in zip(np.asarray(i_bf), np.asarray(i_rf))
+    ]))
+    report("flash_topk bf16 recall", recall_bf >= 0.99,
+           f"recall@{k}={recall_bf:.4f}")
+
     # ---- sparse adagrad rows -----------------------------------------
     from recsys_tpu.train.optimizer import sparse_adagrad_rows
 

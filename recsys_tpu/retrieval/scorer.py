@@ -201,6 +201,7 @@ class RetrievalIndex:
         block_size: int = 0,
         int8: bool = False,
         refine_factor: int = 1,
+        flash: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """-> (scores [Q,k], dense item ids [Q,k]).
 
@@ -209,6 +210,11 @@ class RetrievalIndex:
         — with ``approx`` the per-block top-k uses the TPU's hardware
         ``approx_max_k`` in bf16 (12× at 8M items, recall@10 0.999); the
         FAISS-replacement answer for multi-million-item catalogs.
+
+        ``flash=True`` runs the Pallas running-top-k kernel
+        (:func:`recsys_tpu.ops.pallas.topk_flash.flash_topk`): EXACT
+        top-k without materializing [Q, N], for the
+        largest-catalog-one-pass regime (k <= 128).
 
         ``int8=True`` scores against a per-row symmetrically quantized
         catalog (4× less HBM — 4× more items per chip — on the MXU's
@@ -253,6 +259,13 @@ class RetrievalIndex:
                 np.take_along_axis(exact, order, axis=1),
                 np.take_along_axis(idx, order, axis=1),
             )
+        if flash:
+            from recsys_tpu.ops.pallas.topk_flash import flash_topk
+
+            s, i = flash_topk(
+                user_emb, self.item_embeddings, k, normalize=self.normalize,
+            )
+            return np.asarray(s), np.asarray(i)
         if approx or block_size:
             from recsys_tpu.ops.topk import blockwise_topk
 

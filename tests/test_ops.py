@@ -234,3 +234,69 @@ def test_kernels_compiled_on_accelerator():
         capture_output=True, text=True, env=env, cwd=repo, timeout=900,
     )
     assert out.returncode == 0, out.stdout + out.stderr
+
+
+# ---- flash exact top-k (Pallas) ------------------------------------------
+
+def _flash_topk(*a, **kw):
+    from recsys_tpu.ops.pallas.topk_flash import flash_topk
+    return flash_topk(*a, **kw)
+
+
+@_pytest.mark.parametrize("n_items,k", [(400, 10), (301, 7)])
+def test_flash_topk_matches_blockwise_exact(n_items, k):
+    """Pallas running-top-k (interpret mode) vs the XLA blockwise exact
+    path, f32 scoring: identical scores, identical ids (scores are
+    continuous random floats, so ties have measure zero)."""
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((48, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n_items, 32)).astype(np.float32))
+    fs, fi = _flash_topk(u, v, k, bf16=False, block_items=128, q_tile=16)
+    bs, bi = blockwise_topk(u, v, k, block_size=128)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(bs), atol=1e-5)
+    assert np.array_equal(np.asarray(fi), np.asarray(bi))
+
+
+def test_flash_topk_gate_is_pure_optimization():
+    """The threshold gate skips extraction only when the block cannot
+    contribute: gated and ungated runs must be bit-identical."""
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal((16, 24)).astype(np.float32))
+    # adversarial ordering: catalog sorted ASCENDING by norm, so late
+    # blocks keep beating the buffer (worst case for the gate)
+    v = rng.standard_normal((300, 24)).astype(np.float32)
+    v = jnp.asarray(v[np.argsort(np.linalg.norm(v, axis=1))])
+    a = _flash_topk(u, v, 10, bf16=False, gate=True, block_items=128,
+                    q_tile=16, normalize=False)
+    b = _flash_topk(u, v, 10, bf16=False, gate=False, block_items=128,
+                    q_tile=16, normalize=False)
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_flash_topk_bf16_selects_bf16_exact_topk():
+    """bf16=True must be EXACT w.r.t. bf16-rounded scores - compare
+    against a dense reference computed at the same precision."""
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((300, 32)).astype(np.float32))
+    fs, fi = _flash_topk(u, v, 10, bf16=True, block_items=128, q_tile=16,
+                         normalize=False)
+    dense = jnp.dot(u.astype(jnp.bfloat16), v.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32)
+    ds, di = jax.lax.top_k(dense, 10)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(ds), atol=1e-6)
+    assert np.array_equal(np.asarray(fi), np.asarray(di))
+
+
+def test_flash_topk_k_exceeds_catalog():
+    """k > N pads with NEG_INF rows, same contract as blockwise_topk."""
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((5, 8)).astype(np.float32))
+    fs, fi = _flash_topk(u, v, 10, bf16=False, block_items=128, q_tile=16)
+    bs, bi = blockwise_topk(u, v, 10, block_size=128)
+    np.testing.assert_allclose(np.asarray(fs)[:, :5], np.asarray(bs)[:, :5],
+                               atol=1e-5)
+    assert np.array_equal(np.asarray(fi)[:, :5], np.asarray(bi)[:, :5])
+    assert np.all(np.asarray(fs)[:, 5:] < -1e29)
