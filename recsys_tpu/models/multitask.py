@@ -165,6 +165,9 @@ class MultiTaskModel:
                 log_q=batch.get("log_q"),
                 item_bias=bias,
                 axis_name=data_axis if global_negatives else None,
+                # same bf16 policy as the XLA logits path: the kernel's
+                # five B*B*D MXU dots run ~4x faster in bf16 on v5e
+                bf16=cfg.bf16_retrieval_logits,
             )
         else:
             # the HBM-bound object is the [B_local, n_candidates] logits

@@ -53,11 +53,28 @@ def _on_tpu() -> bool:
         return False
 
 
-def _tile(b: int) -> int:
-    for t in (512, 256, 128, 64, 32, 16, 8):
-        if b % t == 0:
+def _tile(b: int, pref: int = 512) -> int:
+    for t in (pref, 512, 256, 128, 64, 32, 16, 8):
+        if t <= pref and b % t == 0:
             return t
     return b
+
+
+# Preferred (query, candidate) tile sizes. Tuned on v5e at B=128k:
+# the per-grid-step overhead (block DMA turnaround + sequencing)
+# dominates a [512, 512, 128] tile's 0.34 us of bf16 MXU work, so
+# bigger tiles win until VMEM runs out — (1024, 2048) fits (8 MB fp32
+# scores + double-buffered operand blocks) and cuts the grid 8x.
+_TQ_PREF = 1024
+_TK_PREF = 2048
+
+
+def _tiles(bq: int, bk: int) -> Tuple[int, int]:
+    tq, tk = _tile(bq, _TQ_PREF), _tile(bk, _TK_PREF)
+    # keep the fp32 score tile under ~8 MB of VMEM
+    while tq * tk * 4 > 8 * 1024 * 1024 and tq > 512:
+        tq //= 2
+    return tq, tk
 
 
 def _vma(*xs) -> frozenset:
@@ -131,7 +148,7 @@ def _fwd_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref,
 def _flash_fwd_raw(u, v, colcorr, ids_q, ids_k, pos_idx, interpret):
     bq, d = u.shape
     bk = v.shape[0]
-    tq, tk = _tile(bq), _tile(bk)
+    tq, tk = _tiles(bq, bk)
     vma = _vma(u, v, colcorr, ids_q, ids_k, pos_idx)
     grid = (bq // tq, bk // tk)
     lse, pos = pl.pallas_call(
@@ -183,8 +200,11 @@ def _bwd_du_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref,
     )
     p = jnp.exp(s - lse_ref[0, :].reshape(tq, 1))
     pg = p * g_ref[0, :].reshape(tq, 1)
+    # match the input precision on the MXU: with bf16 u/v the pg matmul
+    # in fp32 would run at the MXU's ~4x-slower fp32 rate and dominate
+    # the backward (accumulation stays fp32 via preferred_element_type)
     acc_scr[:] += jax.lax.dot_general(
-        pg, v_ref[:], (((1,), (0,)), ((), ())),
+        pg.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -212,9 +232,9 @@ def _bwd_dv_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref,
     )
     p = jnp.exp(s - lse_ref[0, :].reshape(tq, 1))
     pg = p * g_ref[0, :].reshape(tq, 1)
-    # dV_j += P^T (g*U)
+    # dV_j += P^T (g*U) — pg cast to the input precision (see dU kernel)
     acc_scr[:] += jax.lax.dot_general(
-        pg, u_ref[:], (((0,), (0,)), ((), ())),
+        pg.astype(u_ref.dtype), u_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     col_scr[0, :] += jnp.sum(pg, axis=0)
@@ -225,10 +245,112 @@ def _bwd_dv_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref,
         dcol_ref[0, :] = col_scr[0, :]
 
 
+def _bwd_fused_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
+                      posidx_ref, lse_ref, g_ref, dv_ref, dcol_ref, dup_ref,
+                      acc_scr, col_scr):
+    """Single-sweep backward: candidate-major grid (j, i) accumulates
+    dV_j/dcol_j in scratch (as ``_bwd_dv_kernel``) AND emits the dU
+    partial for (query tile i, candidate tile j) to HBM — the logits
+    tile and its exp are computed ONCE instead of once per output.
+    The [n_j, Bq, D] partials are summed over j by XLA outside; that
+    costs one extra HBM round-trip of Bq*D*n_j fp32 but removes a full
+    B*B logits recompute + exp pass + a kernel launch's grid overhead
+    (the exp passes are the VPU-bound kernel's dominant cost)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    tq = u_ref.shape[0]
+    tk = v_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        col_scr[:] = jnp.zeros_like(col_scr)
+
+    s, _ = _logits_tile(
+        u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref, i, j, tq, tk
+    )
+    p = jnp.exp(s - lse_ref[0, :].reshape(tq, 1))
+    pg = (p * g_ref[0, :].reshape(tq, 1)).astype(u_ref.dtype)
+    acc_scr[:] += jax.lax.dot_general(
+        pg, u_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col_scr[0, :] += jnp.sum(pg.astype(jnp.float32), axis=0)
+    dup_ref[0, :, :] = jax.lax.dot_general(
+        pg, v_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dv_ref[:] = acc_scr[:]
+        dcol_ref[0, :] = col_scr[0, :]
+
+
+# above this many bytes of dU partials, fall back to the two-kernel
+# backward (partials scale as Bq * D * (Bk / tk))
+_FUSED_BWD_PARTIALS_CAP = 6 * 1024**3
+
+
+def _flash_bwd_fused_raw(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g,
+                         interpret):
+    bq, d = u.shape
+    bk = v.shape[0]
+    tq, tk = _tiles(bq, bk)
+    n_j = bk // tk
+    vma = _vma(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g)
+    dv, dcol, du_part = pl.pallas_call(
+        _bwd_fused_kernel,
+        grid=(n_j, bq // tq),
+        in_specs=[
+            pl.BlockSpec((tq, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tk, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, d), lambda j, i: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bk, d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, bk), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((n_j, bq, d), jnp.float32, vma=vma),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk, d), jnp.float32),
+            pltpu.VMEM((1, tk), jnp.float32),
+        ],
+        interpret=interpret,
+    )(u, v, colcorr.reshape(1, bk), ids_q.reshape(1, bq),
+      ids_k.reshape(1, bk), pos_idx.reshape(1, bq),
+      lse.reshape(1, bq), g.reshape(1, bq))
+    return jnp.sum(du_part, axis=0), dv, dcol[0]
+
+
 def _flash_bwd_raw(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g, interpret):
     bq, d = u.shape
     bk = v.shape[0]
-    tq, tk = _tile(bq), _tile(bk)
+    _, tk = _tiles(bq, bk)
+    if bq * d * (bk // tk) * 4 <= _FUSED_BWD_PARTIALS_CAP:
+        return _flash_bwd_fused_raw(
+            u, v, colcorr, ids_q, ids_k, pos_idx, lse, g, interpret)
+    return _flash_bwd_twokernel_raw(
+        u, v, colcorr, ids_q, ids_k, pos_idx, lse, g, interpret)
+
+
+def _flash_bwd_twokernel_raw(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g,
+                             interpret):
+    bq, d = u.shape
+    bk = v.shape[0]
+    tq, tk = _tiles(bq, bk)
     vma = _vma(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g)
     corr2 = colcorr.reshape(1, bk)
     idsq2 = ids_q.reshape(1, bq)
@@ -382,6 +504,7 @@ def in_batch_softmax_flash(
     log_q: Optional[jnp.ndarray] = None,
     item_bias: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    bf16: "bool | str" = "auto",
 ) -> jnp.ndarray:
     """Drop-in equivalent of ``losses.in_batch_softmax`` backed by the
     flash kernel. With ``axis_name`` set (inside ``shard_map``), the
@@ -389,8 +512,21 @@ def in_batch_softmax_flash(
     cross-batch (global) negatives; the positive column of local row i
     is ``axis_index * B_local + i``. The all_gather sits outside the
     custom_vjp, so its transpose (reduce-scatter of the dv cotangent)
-    is ordinary autodiff — the kernel itself stays single-device."""
+    is ordinary autodiff — the kernel itself stays single-device.
+
+    ``bf16`` mirrors ``losses.in_batch_softmax``'s bf16-logits policy
+    for the MXU operands: ``"auto"`` casts u/v to bfloat16 when the
+    candidate count is >= 8192 (the same threshold where bf16 logits
+    win on the XLA path; all reductions stay fp32 inside the kernel).
+    On the v5e MXU fp32 matmuls run at ~1/4 the bf16 rate, and this
+    kernel is matmul-bound — 5 B*B*D dots per fwd+bwd."""
     b = user_emb.shape[0]
+    n_cand = user_emb.shape[0] * (
+        1 if axis_name is None else jax.lax.psum(1, axis_name)
+    )
+    if bf16 is True or (bf16 == "auto" and n_cand >= 8192):
+        user_emb = user_emb.astype(jnp.bfloat16)
+        item_emb = item_emb.astype(jnp.bfloat16)
     colcorr = jnp.zeros((b,), jnp.float32)
     if item_bias is not None:
         colcorr = colcorr + item_bias
