@@ -239,6 +239,121 @@ def time_kernels(out_path: str = None) -> int:
     return 0
 
 
+def time_topk(out_path: str = None) -> int:
+    """On-chip timing sweep for the exact-top-k contenders (VERDICT r3
+    item 2 — 'give topk_flash a verdict'): the Pallas running-top-k
+    kernel (gated bf16 / ungated / f32) and the two-pass group-max
+    sieve vs the XLA paths (blockwise exact lax.top_k, blockwise
+    approx_max_k, dense exact) at 1M and 8M items, dim 128, 4,096
+    queries (the scale.json serving shape). Commits the rows that
+    decide whether flash becomes the production exact path."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops.pallas.topk_flash import blockmax_topk, flash_topk
+    from recsys_tpu.ops.topk import blockwise_topk
+    from recsys_tpu.retrieval.scorer import topk_scores
+
+    rng = np.random.default_rng(0)
+    platform = jax.devices()[0].platform
+    k, dim, q_n = 10, 128, 4096
+    q = jnp.asarray(rng.normal(size=(q_n, dim)).astype(np.float32))
+    rows = []
+
+    def bench(fn, *args, iters=5):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        # hard host barrier per iter — block_until_ready alone
+        # under-measures through the remote relay (see bench.py)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+            np.asarray(out[0][:1])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    def recall_vs(i_got, i_ref):
+        return float(np.mean([
+            len(set(np.asarray(a)) & set(np.asarray(b))) / k
+            for a, b in zip(np.asarray(i_got), np.asarray(i_ref))
+        ]))
+
+    for n_items in (1_000_000, 8_000_000):
+        # generate the catalog ON DEVICE: 4 GB at 8M x 128 — no host
+        # round-trip, no host RAM
+        items = jax.jit(
+            lambda key: jax.random.normal(key, (n_items, dim), jnp.float32)
+        )(jax.random.PRNGKey(n_items))
+        jax.block_until_ready(items)
+        row = {"n_items": n_items, "dim": dim, "q_batch": q_n, "k": k,
+               "platform": platform}
+        # ids reference for recall bookkeeping (exact blockwise)
+        _, i_ref = blockwise_topk(q, items, k=k, block_size=262144)
+        i_ref = np.asarray(i_ref)
+        variants = {
+            "xla_blockwise_exact": (
+                lambda q_, it: blockwise_topk(q_, it, k=k,
+                                              block_size=262144), True),
+            "xla_approx_bf16": (
+                lambda q_, it: blockwise_topk(q_, it, k=k,
+                                              block_size=262144,
+                                              approx=True), False),
+            "flash_bf16_gated": (
+                lambda q_, it: flash_topk(q_, it, k, bf16=True,
+                                          gate=True), False),
+            "flash_f32_gated": (
+                lambda q_, it: flash_topk(q_, it, k, bf16=False,
+                                          gate=True), True),
+            "flash_bf16_ungated": (
+                lambda q_, it: flash_topk(q_, it, k, bf16=True,
+                                          gate=False), False),
+            "blockmax_sieve_bf16": (
+                lambda q_, it: blockmax_topk(q_, it, k), False),
+            "blockmax_sieve_f32": (
+                lambda q_, it: blockmax_topk(q_, it, k, bf16=False), True),
+        }
+        if n_items <= 1_000_000:
+            # [Q, N] fp32 scores = 16 GB at 8M — dense only at 1M
+            variants["xla_dense_exact"] = (
+                lambda q_, it: topk_scores(q_, it, k), True)
+        for name, (fn, exact_expected) in variants.items():
+            try:
+                jfn = jax.jit(fn)
+                row[f"{name}_ms"] = round(bench(jfn, q, items), 2)
+                _, i_got = jfn(q, items)
+                rec = recall_vs(i_got, i_ref)
+                row[f"{name}_recall"] = round(rec, 4)
+                if exact_expected and rec < 1.0:
+                    row[f"{name}_note"] = "expected exact, recall<1"
+            except Exception as e:
+                row[f"{name}_ms"] = None
+                row[f"{name}_error"] = type(e).__name__
+        cands = [(v, kk) for kk, v in row.items()
+                 if kk.endswith("_ms") and v is not None]
+        row["best"] = min(cands)[1][:-3] if cands else "none"
+        exact_cands = [
+            (row[f"{nm}_ms"], nm) for nm in
+            ("xla_blockwise_exact", "flash_f32_gated", "xla_dense_exact",
+             "blockmax_sieve_f32")
+            if row.get(f"{nm}_ms") is not None
+        ]
+        row["best_exact"] = min(exact_cands)[1] if exact_cands else "none"
+        rows.append(row)
+        print(json.dumps(row))
+        del items
+    if out_path:
+        existing = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                existing = json.load(f)
+        existing["topk"] = rows
+        with open(out_path, "w") as f:
+            json.dump(existing, f, indent=2)
+        print(f"wrote {out_path}")
+    return 0
+
+
 def bench_train_step(out_path=None):
     """FULL multi-task train step (fwd+bwd+adagrad) with and without
     the flash-CE kernel at large batch — the number the kernel
@@ -261,7 +376,7 @@ def bench_train_step(out_path=None):
     rng = np.random.default_rng(0)
     n_users, n_items = 200_000, 100_000
     rows = []
-    for bsz in (32_768, 131_072):
+    for bsz in (8_192, 16_384, 32_768, 65_536, 131_072):
         batch_np = {
             "user_id": rng.integers(0, n_users, bsz).astype(np.int32),
             "movie_id": rng.integers(0, n_items, bsz).astype(np.int32),
@@ -329,6 +444,8 @@ if __name__ == "__main__":
         out = sys.argv[sys.argv.index("--out") + 1]
     if "--time" in sys.argv:
         sys.exit(time_kernels(out))
+    if "--topk" in sys.argv:
+        sys.exit(time_topk(out))
     if "--trainstep" in sys.argv:
         sys.exit(bench_train_step(out))
     sys.exit(main())

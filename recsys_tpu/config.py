@@ -76,19 +76,36 @@ class ModelConfig:
     # up to 3.56 vs 3.94 ms at 64k x 512) — keep False except to study
     # the kernel. Equivalence-tested vs the XLA path; interpret on CPU.
     use_pallas_dcn: bool = False
-    # run the retrieval loss through the flash sampled-softmax Pallas
-    # kernel (ops/pallas/flash_ce.py): never materializes the
-    # [B, n_candidates] logits in HBM. Composes with global_negatives
-    # (rectangular kernel over the all-gathered candidate block inside
-    # the SPMD step — round 3; equivalence-tested vs the XLA path).
-    # Measured regime map (v5e, dim 128 — kernels_tpu.json): through
-    # B=64k the XLA bf16-logits path wins (bf16_retrieval_logits above;
-    # FULL train step at B=32k: 27.9 ms XLA vs 38.2 flash), so this
-    # stays False; at B>=128k NO logits matrix fits 16 GB HBM at any
-    # dtype — the XLA step OOMs while flash runs the full train step at
-    # 476 ms (275k examples/s, kernels_tpu.json "train_step_flash").
-    # Turn on for B>=128k.
-    use_flash_ce: bool = False
+    # Retrieval-loss implementation policy ("auto" | True | False |
+    # "chunked"; losses.resolve_retrieval_loss). The measured regime
+    # map (v5e, dim 128 — kernels_tpu.json): through B=64k square the
+    # XLA bf16-logits path wins (bf16_retrieval_logits above; FULL
+    # train step at B=32k: 27.9 ms XLA vs 38.2 flash); at B>=128k NO
+    # logits matrix fits 16 GB HBM at any dtype — the XLA step OOMs
+    # while flash runs the full train step at 476 ms (275k examples/s,
+    # "train_step_flash") and beats the chunked-scan XLA equivalent
+    # 1.49x. "auto" (default) encodes exactly that: dense XLA while
+    # the bf16 logits fit retrieval_logits_cap_gb, else the flash
+    # Pallas kernel (ops/pallas/flash_ce.py — never materializes the
+    # logits; composes with global_negatives via the rectangular
+    # all-gathered-candidates kernel) on TPU or the chunked lax.scan
+    # (losses.in_batch_softmax_chunked) elsewhere. True/False/"chunked"
+    # force a path — with a trace-time warning when the forced path is
+    # in its measured losing regime.
+    # NOTE on numerics: the flash path's bf16 policy
+    # (bf16_retrieval_logits="auto", n_cand >= 8192) casts the U/V
+    # EMBEDDING operands to bfloat16 (all reductions stay fp32 inside
+    # the kernel) — stronger than the XLA path's bf16, which only
+    # holds the logits accumulator in bf16. Equivalence at that scale
+    # is tested with bf16-appropriate tolerances
+    # (tests/test_flash_ce.py::test_flash_bf16_auto_threshold).
+    use_flash_ce: Any = "auto"
+    # The materialization cap the "auto" policy keys on: the dense XLA
+    # path is used while B_local * n_candidates bf16 bytes fit under
+    # this. 8 GiB = the largest measured-working dense regime on a
+    # 16 GiB v5e (B=64k square); lower it on smaller-HBM parts or to
+    # force the non-materializing path earlier (tests use this).
+    retrieval_logits_cap_gb: float = 8.0
     # Width of the engineered dense-feature vector concatenated into the
     # DCN ranking input (x0 = [user_emb | item_emb | dense]). 0 = ids
     # only (reference parity: its DataProcessor computes ~29 features

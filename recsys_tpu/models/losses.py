@@ -12,11 +12,72 @@ with per-sample CTR class weights ``tf.where(y==1, w1, w0)``
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# warn once per (setting, regime) pair — the loss is re-traced per
+# shape/jit and warnings.warn's own dedup keys on source line only
+_REGIME_WARNED: set = set()
+
+
+def resolve_retrieval_loss(
+    setting, b_local: int, n_candidates: int, platform: str,
+    cap_gb: float = 8.0,
+) -> str:
+    """Pick the retrieval-loss implementation for the (static) shape
+    regime: ``"xla"`` (dense [B, n_cand] logits — in_batch_softmax),
+    ``"flash"`` (Pallas online-softmax kernel) or ``"chunked"``
+    (lax.scan online-softmax — the non-TPU flash equivalent).
+
+    ``setting`` is ``ModelConfig.use_flash_ce``: ``"auto"`` (default)
+    keys on whether the bf16 logits matrix fits under ``cap_gb``;
+    True/False/"chunked" force a path, with a trace-time warning when
+    the forced path is in its measured losing regime (VERDICT r3
+    item 3; regime map: benchmarks/results/kernels_tpu.json — on a
+    16 GB v5e, dim 128: XLA bf16-logits wins through B=64k square
+    [8 GiB logits], at B>=128k square no logits matrix fits HBM at
+    any dtype and flash is the only fast path, 1.49x over chunked).
+    """
+    logits_gb = b_local * n_candidates * 2 / 2**30  # bf16 footprint
+    fits = logits_gb <= cap_gb
+
+    def _warn(msg):
+        key = (repr(setting), fits, platform)
+        if key not in _REGIME_WARNED:
+            _REGIME_WARNED.add(key)
+            warnings.warn(msg, stacklevel=3)
+
+    if setting is True:
+        if fits:
+            _warn(
+                f"use_flash_ce=True at [{b_local}, {n_candidates}] logits "
+                f"({logits_gb:.2f} GB bf16 <= cap {cap_gb} GB): the XLA "
+                "bf16-logits path is measured faster in this regime "
+                "(kernels_tpu.json; e.g. 27.9 vs 38.2 ms full step at "
+                "B=32k) — use_flash_ce='auto' picks the winner per shape.")
+        return "flash"
+    if setting == "chunked":
+        return "chunked"
+    if setting is False:
+        if not fits:
+            _warn(
+                f"use_flash_ce=False with a [{b_local}, {n_candidates}] "
+                f"logits matrix ({logits_gb:.1f} GB bf16 > cap {cap_gb} "
+                "GB): the dense XLA path materializes this in HBM and is "
+                "expected to OOM (kernels_tpu.json: B=128k square OOMs at "
+                "every dtype on 16 GB) — use_flash_ce='auto' would take "
+                "the non-materializing path.")
+        return "xla"
+    # "auto": dense XLA while the logits fit (measured fastest), else
+    # the non-materializing path — flash kernel on TPU, chunked scan
+    # elsewhere (flash's non-TPU fallbacks materialize dense logits)
+    if fits:
+        return "xla"
+    return "flash" if platform == "tpu" else "chunked"
 
 
 def in_batch_softmax(
@@ -122,25 +183,33 @@ def in_batch_softmax_chunked(
     user_emb: jnp.ndarray,
     item_emb: jnp.ndarray,
     item_ids: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
     mask: Optional[jnp.ndarray] = None,
     log_q: Optional[jnp.ndarray] = None,
     item_bias: Optional[jnp.ndarray] = None,
     chunk_size: int = 4096,
 ) -> jnp.ndarray:
     """Flash-style in-batch softmax CE: candidates are scanned in
-    chunks with an online logsumexp, so the [B, B] logits matrix is
-    never materialized in HBM (at B=16k that matrix is ~1 GB fp32 and
-    dominates the step time). The chunk body is ``jax.checkpoint``-ed:
-    the backward pass recomputes per-chunk logits instead of saving
-    them — the same compute/memory trade as flash attention.
+    chunks with an online logsumexp, so the [B, n_cand] logits matrix
+    is never materialized in HBM (at B=16k that matrix is ~1 GB fp32
+    and dominates the step time). The chunk body is
+    ``jax.checkpoint``-ed: the backward pass recomputes per-chunk
+    logits instead of saving them — the same compute/memory trade as
+    flash attention.
 
-    Semantics identical to :func:`in_batch_softmax` (single-replica
-    path): logQ correction, item bias, accidental-hit masking.
+    This is the production non-materializing path on NON-TPU backends
+    (the ``"auto"`` retrieval-loss policy routes here when the logits
+    matrix is over the materialization cap and there is no Pallas
+    flash kernel — VERDICT r3 item 3); on TPU the flash kernel beats
+    it 1.49x at B=128k (kernels_tpu.json).
+
+    Semantics identical to :func:`in_batch_softmax` incl. the global-
+    negatives scope: with ``axis_name`` set (inside shard_map), the
+    candidate set is the item block all-gathered over that axis and
+    the positive column of local row i is ``axis_index * B + i``.
+    LogQ correction, item bias and accidental-hit masking all apply.
     """
     b, d = user_emb.shape
-    assert b % chunk_size == 0, (b, chunk_size)
-    n_chunks = b // chunk_size
-    diag = jnp.arange(b)
 
     col_corr = jnp.zeros((b,), jnp.float32)
     if item_bias is not None:
@@ -148,37 +217,61 @@ def in_batch_softmax_chunked(
     if log_q is not None:
         col_corr = col_corr - log_q
 
-    v_chunks = item_emb.reshape(n_chunks, chunk_size, d)
-    corr_chunks = col_corr.reshape(n_chunks, chunk_size)
+    if axis_name is None:
+        candidates, cand_ids, cand_corr = item_emb, item_ids, col_corr
+        diag = jnp.arange(b)
+    else:
+        candidates = lax.all_gather(item_emb, axis_name, axis=0, tiled=True)
+        cand_ids = (
+            lax.all_gather(item_ids, axis_name, axis=0, tiled=True)
+            if item_ids is not None else None
+        )
+        cand_corr = lax.all_gather(col_corr, axis_name, axis=0, tiled=True)
+        diag = jnp.arange(b) + lax.axis_index(axis_name) * b
+
+    n_cand = candidates.shape[0]
+    chunk_size = min(chunk_size, n_cand)
+    assert n_cand % chunk_size == 0, (n_cand, chunk_size)
+    n_chunks = n_cand // chunk_size
+
+    v_chunks = candidates.reshape(n_chunks, chunk_size, d)
+    corr_chunks = cand_corr.reshape(n_chunks, chunk_size)
     ids_chunks = (
-        item_ids.reshape(n_chunks, chunk_size) if item_ids is not None else
+        cand_ids.reshape(n_chunks, chunk_size) if cand_ids is not None else
         jnp.zeros((n_chunks, chunk_size), jnp.int32)
     )
 
     @jax.checkpoint
     def chunk_fn(carry, inp):
-        lse, pos = carry
+        lse = carry
         c_idx, v_c, corr_c, ids_c = inp
         s = jnp.dot(user_emb, v_c.T, preferred_element_type=jnp.float32)
         s = s + corr_c[None, :]
-        col0 = c_idx * chunk_size
-        col = col0 + jnp.arange(chunk_size)
+        col = c_idx * chunk_size + jnp.arange(chunk_size)
         if item_ids is not None:
+            # duplicate-item columns are -inf'd except the row's own
+            # positive column (which stays in the logsumexp)
             dup = item_ids[:, None] == ids_c[None, :]
             accidental = dup & (col[None, :] != diag[:, None])
             s = jnp.where(accidental, -1e9, s)
-        new_lse = jnp.logaddexp(lse, jax.nn.logsumexp(s, axis=-1))
-        in_chunk = (diag >= col0) & (diag < col0 + chunk_size)
-        idx = jnp.clip(diag - col0, 0, chunk_size - 1)
-        chunk_pos = jnp.take_along_axis(s, idx[:, None], axis=1)[:, 0]
-        new_pos = jnp.where(in_chunk, chunk_pos, pos)
-        return (new_lse, new_pos), None
+        return jnp.logaddexp(lse, jax.nn.logsumexp(s, axis=-1)), None
 
-    init = (jnp.full((b,), -jnp.inf), jnp.zeros((b,)))
-    (lse, pos), _ = jax.lax.scan(
-        chunk_fn, init,
+    init_lse = jnp.full((b,), -jnp.inf)
+    if axis_name is not None:
+        # under a check_vma shard_map the body's output carry varies
+        # over the mesh axis (it mixes in the gathered candidates);
+        # the constant init must be declared varying too
+        init_lse = jax.lax.pvary(init_lse, axis_name)
+    lse, _ = jax.lax.scan(
+        chunk_fn, init_lse,
         (jnp.arange(n_chunks), v_chunks, corr_chunks, ids_chunks),
     )
+    # the positive logit as a row-wise dot instead of a per-chunk
+    # take_along_axis — mathematically pos IS logits[i, diag[i]]
+    # (incl. the corrections), same trick as in_batch_softmax
+    pos = jnp.sum(
+        user_emb.astype(jnp.float32) * item_emb.astype(jnp.float32), axis=-1
+    ) + col_corr
     ce = lse - pos
     if mask is not None:
         return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -149,7 +149,18 @@ class MultiTaskModel:
         u_retr = out.user_embedding
         if cfg.softmax_temperature != 1.0:
             u_retr = u_retr / cfg.softmax_temperature
-        if cfg.use_flash_ce:
+        # the HBM-bound object is the [B_local, n_candidates] logits
+        # matrix; under global negatives the candidate axis spans the
+        # GLOBAL batch (B_local * data_axis_size), so both the path
+        # policy and the bf16 threshold key on that, not local rows
+        n_candidates = u_retr.shape[0] * (
+            data_axis_size if (global_negatives and data_axis) else 1
+        )
+        loss_path = losses.resolve_retrieval_loss(
+            cfg.use_flash_ce, u_retr.shape[0], n_candidates,
+            jax.devices()[0].platform, cfg.retrieval_logits_cap_gb,
+        )
+        if loss_path == "flash":
             from recsys_tpu.ops.pallas.flash_ce import in_batch_softmax_flash
 
             # global negatives inside the SPMD step: the flash kernel
@@ -169,14 +180,20 @@ class MultiTaskModel:
                 # five B*B*D MXU dots run ~4x faster in bf16 on v5e
                 bf16=cfg.bf16_retrieval_logits,
             )
-        else:
-            # the HBM-bound object is the [B_local, n_candidates] logits
-            # matrix; under global negatives the candidate axis spans the
-            # GLOBAL batch (B_local * data_axis_size), so the auto
-            # threshold keys on that, not on the local row count
-            n_candidates = u_retr.shape[0] * (
-                data_axis_size if (global_negatives and data_axis) else 1
+        elif loss_path == "chunked":
+            # the non-TPU non-materializing path: online-softmax scan
+            # over candidate chunks (jax.checkpoint'd — backward
+            # recomputes per-chunk logits instead of saving them)
+            retr = losses.in_batch_softmax_chunked(
+                u_retr.astype(emb_dtype),
+                out.item_embedding.astype(emb_dtype),
+                item_ids=mask_ids,
+                axis_name=data_axis if global_negatives else None,
+                mask=mask,
+                log_q=batch.get("log_q"),
+                item_bias=bias,
             )
+        else:
             retr = losses.in_batch_softmax(
                 u_retr.astype(emb_dtype),
                 out.item_embedding.astype(emb_dtype),

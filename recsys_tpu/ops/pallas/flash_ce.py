@@ -71,9 +71,15 @@ _TK_PREF = 2048
 
 def _tiles(bq: int, bk: int) -> Tuple[int, int]:
     tq, tk = _tile(bq, _TQ_PREF), _tile(bk, _TK_PREF)
-    # keep the fp32 score tile under ~8 MB of VMEM
-    while tq * tk * 4 > 8 * 1024 * 1024 and tq > 512:
+    # keep the fp32 score tile under ~8 MB of VMEM — but only shrink to
+    # tiles that still DIVIDE bq: grid = bq // tq silently drops the
+    # trailing rows otherwise (their lse/CE blocks are never written)
+    while (tq * tk * 4 > 8 * 1024 * 1024 and tq > 512
+           and bq % (tq // 2) == 0):
         tq //= 2
+    assert bq % tq == 0 and bk % tk == 0, (
+        f"flash-CE tiling must cover the batch exactly: "
+        f"bq={bq} tq={tq} bk={bk} tk={tk}")
     return tq, tk
 
 
@@ -271,12 +277,16 @@ def _bwd_fused_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
         u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref, posidx_ref, i, j, tq, tk
     )
     p = jnp.exp(s - lse_ref[0, :].reshape(tq, 1))
-    pg = (p * g_ref[0, :].reshape(tq, 1)).astype(u_ref.dtype)
+    # keep an fp32 pg for the column sum so the item_bias/log_q gradient
+    # matches the two-kernel path bit-for-bit across the partials-cap
+    # threshold; only the MXU matmul operands are cast down
+    pg32 = p * g_ref[0, :].reshape(tq, 1)
+    pg = pg32.astype(u_ref.dtype)
     acc_scr[:] += jax.lax.dot_general(
         pg, u_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    col_scr[0, :] += jnp.sum(pg.astype(jnp.float32), axis=0)
+    col_scr[0, :] += jnp.sum(pg32, axis=0)
     dup_ref[0, :, :] = jax.lax.dot_general(
         pg, v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -289,8 +299,13 @@ def _bwd_fused_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
 
 
 # above this many bytes of dU partials, fall back to the two-kernel
-# backward (partials scale as Bq * D * (Bk / tk))
-_FUSED_BWD_PARTIALS_CAP = 6 * 1024**3
+# backward (partials scale as Bq * D * (Bk / tk)). Capped at 2 GiB:
+# at the flagship B=128k square regime the 6 GiB cap admitted a
+# ~4.3 GiB fp32 partials tensor on top of params/optimizer/activations
+# on a 16 GiB v5e — an OOM hazard in exactly the regime flash is for
+# (ADVICE r3). 128k square now takes the proven two-kernel backward;
+# fused still covers B<=64k square (<=1.1 GiB partials).
+_FUSED_BWD_PARTIALS_CAP = 2 * 1024**3
 
 
 def _flash_bwd_fused_raw(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g,

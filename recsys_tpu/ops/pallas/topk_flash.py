@@ -43,6 +43,18 @@ Scoring runs on the MXU in bf16 with fp32 accumulation by default
 at the k-boundary may resolve to different (equal-scoring) ids than
 ``lax.top_k``'s global lowest-index rule; within a block the
 lowest-index rule is preserved.
+
+**Round-4 verdict (measured on the chip — kernels_tpu.json "topk",
+4,096 queries, dim 128, k=10): this is the production exact path.**
+f32 flash: 208 ms at 1M items / 759 ms at 8M — 1.3x / 2.0x over the
+blockwise-exact scan, and at 8M the dense [Q, N] path cannot run at
+all. Wired as :func:`recsys_tpu.retrieval.scorer.exact_topk` (dense
+under 1 GiB of scores, flash above), which the evaluator and
+``RetrievalIndex.search``'s exact branch dispatch through. The bf16
+group-max sieve below is 2.1x faster again at 8M (353 ms) but is not
+strictly exact (measured recall 0.9998-0.9999) — kept as the
+recall-tolerant middle ground between exact flash and
+``approx_max_k`` (150 ms, recall 0.9996).
 """
 
 from __future__ import annotations
@@ -158,6 +170,7 @@ def flash_topk(
     bf16: bool = True,
     gate: bool = True,
     interpret: Optional[bool] = None,
+    item_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k of ``user_emb @ item_emb.T``: [Q,d] x [N,d] ->
     ([Q,k] scores, [Q,k] int32 ids) without materializing [Q,N].
@@ -167,11 +180,25 @@ def flash_topk(
     matmul (fp32 accumulation) — selection is then exact w.r.t. the
     bf16-rounded scores (pass ``bf16=False`` for bit-exact parity
     with the f32 XLA path). Requires ``k <= 128``.
+
+    ``item_bias`` ([N], raw-dot scoring only) is folded into the dot
+    itself by augmenting the embeddings one coordinate — queries get a
+    constant 1, items get their bias — so the kernel needs no extra
+    operand: score = [u|1] . [v|b] = u.v + b.
     """
     if k > KBUF:
         raise ValueError(f"flash_topk supports k <= {KBUF}, got {k}")
     if interpret is None:
         interpret = not _on_tpu()
+    if item_bias is not None:
+        if normalize:
+            raise ValueError("item_bias requires normalize=False "
+                             "(raw-dot scoring)")
+        user_emb = jnp.concatenate(
+            [user_emb, jnp.ones((user_emb.shape[0], 1), user_emb.dtype)],
+            axis=1)
+        item_emb = jnp.concatenate(
+            [item_emb, item_bias.astype(item_emb.dtype)[:, None]], axis=1)
     q_n, d = user_emb.shape
     n = item_emb.shape[0]
     if normalize:
@@ -298,10 +325,19 @@ def blockmax_topk(
     bf16: bool = True,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k via the group-max sieve: [Q,d] x [N,d] ->
+    """Top-k via the group-max sieve: [Q,d] x [N,d] ->
     ([Q,k], [Q,k] int32 ids). Same contract as :func:`flash_topk`;
-    fastest exact path at large N (pass 1 runs at matmul speed, the
-    rescore touches only ``k * group`` candidates per query)."""
+    pass 1 runs at matmul speed, the rescore touches only
+    ``k * group`` candidates per query.
+
+    Measured verdict (kernels_tpu.json "topk"): fastest
+    NEAR-exact path at 8M items (353 ms bf16 vs flash's 759) but NOT
+    strictly exact in practice — recall@10 0.9998-0.9999 vs the f32
+    reference (boundary groups reorder under pass-1-kernel vs rescore
+    rounding), and the f32 variant OOMs at 8M (the [Q, n_groups]
+    group-max matrix). Production exact search therefore uses
+    :func:`flash_topk` (via ``scorer.exact_topk``); this kernel is the
+    recall-tolerant middle ground between it and ``approx_max_k``."""
     if interpret is None:
         interpret = not _on_tpu()
     q_n, d = user_emb.shape

@@ -22,7 +22,9 @@ from recsys_tpu.models.multitask import MultiTaskModel
 from recsys_tpu.models.towers import TwoTower
 from recsys_tpu.models import losses
 from recsys_tpu.retrieval.metrics import RankingMetrics
-from recsys_tpu.retrieval.scorer import materialize_item_embeddings, topk_scores
+from recsys_tpu.retrieval.scorer import (
+    exact_topk, materialize_item_embeddings, topk_scores,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -131,7 +133,7 @@ def _filtered_topk(u_emb, item_embs, u_ids, seen_index, k, bs, n_items,
         )
         return np.asarray(top)
     retrieve_k = min(k + seen_index.max_seen, n_items)
-    _, cand = topk_scores(
+    _, cand = exact_topk(
         u_emb, item_embs, retrieve_k, normalize=use_cosine,
         item_bias=item_bias,
     )
@@ -213,7 +215,7 @@ def evaluate(
         m_ids = np.concatenate([mid[lo:hi], np.zeros(pad, mid.dtype)])
         u_emb = _user_embs(params["towers"], cfg, jnp.asarray(u_ids))
         if seen_index is None:
-            _, top_ids = topk_scores(
+            _, top_ids = exact_topk(
                 u_emb, item_embs, max_k, normalize=use_cosine,
                 item_bias=item_bias,
             )
@@ -302,7 +304,7 @@ def two_stage_evaluate(
                 u_emb, item_embs, mask, n_cand, normalize=False,
                 item_bias=item_bias,
             )
-        scores, cand = topk_scores(
+        scores, cand = exact_topk(
             u_emb, item_embs, retrieve_k, normalize=False,
             item_bias=item_bias,
         )

@@ -80,6 +80,45 @@ def topk_scores(
     return jax.lax.top_k(scores, k)
 
 
+# above this many bytes of dense [Q, N] scores, exact search switches
+# to the flash Pallas running-top-k (never materializes the matrix;
+# 1.6-2.0x over the blockwise-exact scan at 1M-8M items on v5e —
+# kernels_tpu.json "topk" rows, the VERDICT r3 item-2 verdict)
+_DENSE_SCORES_CAP = 1 << 30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def exact_topk(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    k: int,
+    normalize: bool = True,
+    item_bias: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Size-dispatched EXACT top-k: the dense matmul + ``lax.top_k``
+    while the [Q, N] score matrix is small, the flash running-top-k
+    kernel (:func:`recsys_tpu.ops.pallas.topk_flash.flash_topk`, f32,
+    selection identical to dense) once it would exceed
+    ``_DENSE_SCORES_CAP`` on a TPU — the production exact path for
+    multi-million-item catalogs, where dense scores can't materialize
+    and the blockwise scan pays a full sort per block."""
+    q_n = int(user_emb.shape[0])
+    n = int(item_emb.shape[0])
+    if (_on_tpu() and k <= 128
+            and q_n * n * 4 > _DENSE_SCORES_CAP):
+        from recsys_tpu.ops.pallas.topk_flash import flash_topk
+
+        return flash_topk(user_emb, item_emb, k, normalize=normalize,
+                          bf16=False, item_bias=item_bias)
+    return topk_scores(user_emb, item_emb, k, normalize, item_bias)
+
+
 def make_sharded_topk(ctx: MeshContext, k: int, normalize: bool = True,
                       masked: bool = False, int8: bool = False):
     """Sharded scorer: items row-sharded over ``model``, queries
@@ -278,7 +317,10 @@ class RetrievalIndex:
                 approx=approx,
             )
         else:
-            s, i = topk_scores(user_emb, self.item_embeddings, k, self.normalize)
+            # size-dispatched exact path: flash kernel once the dense
+            # [Q, N] scores would not fit (see exact_topk)
+            s, i = exact_topk(user_emb, self.item_embeddings, k,
+                              self.normalize)
         return np.asarray(s), np.asarray(i)
 
     def raw_dot_scores(self, user_emb: jnp.ndarray, item_ids: np.ndarray) -> np.ndarray:

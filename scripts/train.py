@@ -50,6 +50,8 @@ def build_config(args):
             mixed_precision=args.bf16,
             dense_features=dense,
             softmax_temperature=args.softmax_temperature,
+            use_flash_ce={"auto": "auto", "xla": False, "flash": True,
+                          "chunked": "chunked"}[args.retrieval_loss],
         ),
         data=DataConfig(
             processed_path=args.data,
@@ -136,6 +138,14 @@ def main(argv=None) -> int:
                          "features but never trains on them)")
     ap.add_argument("--softmax_temperature", type=float, default=1.0,
                     help="retrieval in-batch softmax temperature")
+    ap.add_argument("--retrieval_loss", default="auto",
+                    choices=["auto", "xla", "flash", "chunked"],
+                    help="retrieval-loss implementation: 'auto' (default) "
+                         "picks dense XLA while the logits matrix fits "
+                         "model.retrieval_logits_cap_gb and the "
+                         "non-materializing path (flash Pallas on TPU, "
+                         "chunked scan elsewhere) above it; the others "
+                         "force a path (warned when in a losing regime)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     dest="overrides",

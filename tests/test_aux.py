@@ -210,3 +210,13 @@ def test_metric_writer_tensorboard_and_wandb_sinks(tmp_path, monkeypatch):
     # crude content check: the tag bytes appear in the event stream
     blob = b"".join(p.read_bytes() for p in events)
     assert b"train_loss" in blob and b"val_loss" in blob
+
+
+def test_readme_numbers_match_committed_results():
+    """Front-page drift guard (VERDICT r3 item 5): every headline
+    number in README.md must match the committed results JSON it
+    cites. The claim list lives in benchmarks/check_docs.py."""
+    import benchmarks.check_docs as cd
+
+    failures = cd.check_readme()
+    assert not failures, "\n".join(failures)

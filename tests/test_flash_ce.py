@@ -136,6 +136,63 @@ def test_global_negatives_flash_matches_xla_in_shard_map(data):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_flash_bf16_forced_matches_dense_small_batch(data):
+    """bf16=True (the same cast 'auto' applies at n_cand >= 8192) must
+    track the fp32 dense reference within bf16 tolerance — value and
+    gradients (ADVICE r3: the flash bf16 policy casts the u/v embedding
+    operands, stronger than the XLA path's logits-only bf16)."""
+    u, v, ids = data["u"], data["v"], data["ids"]
+    logq, bias = data["logq"], data["bias"]
+    a = float(in_batch_softmax_flash(
+        u, v, ids, log_q=logq, item_bias=bias, bf16=True))
+    r = float(losses.in_batch_softmax(
+        u, v, item_ids=ids, log_q=logq, item_bias=bias))
+    np.testing.assert_allclose(a, r, rtol=2e-2)
+    ga = jax.grad(
+        lambda u_, v_: in_batch_softmax_flash(
+            u_, v_, ids, log_q=logq, item_bias=bias, bf16=True),
+        argnums=(0, 1),
+    )(u, v)
+    gr = jax.grad(
+        lambda u_, v_: losses.in_batch_softmax(
+            u_, v_, item_ids=ids, log_q=logq, item_bias=bias),
+        argnums=(0, 1),
+    )(u, v)
+    for x, y in zip(ga, gr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-2, atol=2e-2)
+
+
+def test_flash_bf16_auto_threshold():
+    """'auto' casts the embeddings exactly when n_cand >= 8192: below
+    the threshold it is bit-identical to bf16=False, at the threshold
+    bit-identical to bf16=True — and the bf16 value still tracks the
+    fp32 dense reference at that scale (the previously-untested
+    n_cand >= 8192 parity, ADVICE r3)."""
+    rng = np.random.default_rng(7)
+    d = 16
+
+    # below threshold: auto == off
+    b_small = 64
+    u = jnp.asarray(rng.normal(size=(b_small, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b_small, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 10_000, b_small).astype(np.int32))
+    auto = float(in_batch_softmax_flash(u, v, ids, bf16="auto"))
+    off = float(in_batch_softmax_flash(u, v, ids, bf16=False))
+    assert auto == off
+
+    # at threshold: auto == forced bf16, and both track fp32 dense
+    b_big = 8192
+    u = jnp.asarray(rng.normal(size=(b_big, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b_big, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 1_000_000, b_big).astype(np.int32))
+    auto = float(in_batch_softmax_flash(u, v, ids, bf16="auto"))
+    forced = float(in_batch_softmax_flash(u, v, ids, bf16=True))
+    assert auto == forced
+    dense_f32 = float(losses.in_batch_softmax(u, v, item_ids=ids))
+    np.testing.assert_allclose(auto, dense_f32, rtol=2e-2)
+
+
 def test_rectangular_positive_column_semantics():
     """Direct rectangular check against a dense NumPy computation:
     Bq=8 rows against Bk=32 candidates with positives at offset 16."""
