@@ -100,6 +100,23 @@ def check_readme() -> list:
     ]
 
     failures = []
+
+    # the advertised test count (README layout block) vs a live
+    # collection — the number that drifted rounds 2-3
+    m = re.search(r"tests/\s+(\d+) tests", readme)
+    if m:
+        import subprocess
+
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "--collect-only",
+             "-q"], capture_output=True, text=True, cwd=ROOT, timeout=120,
+        ).stdout
+        mc = re.search(r"(\d+) tests collected", out)
+        if mc and mc.group(1) != m.group(1):
+            failures.append(
+                f"test count: README says {m.group(1)}, collection "
+                f"says {mc.group(1)}")
+
     for label, pattern, path, scale, rtol in CLAIMS:
         m = re.search(pattern, readme)
         if not m:

@@ -233,8 +233,15 @@ def time_kernels(out_path: str = None) -> int:
         print(json.dumps(row))
 
     if out_path:
+        # merge (the file also carries the topk / train_step_flash /
+        # summary sections written by the other modes)
+        existing = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                existing = json.load(f)
+        existing.update(results)
         with open(out_path, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(existing, f, indent=2)
         print(f"wrote {out_path}")
     return 0
 
@@ -376,7 +383,7 @@ def bench_train_step(out_path=None):
     rng = np.random.default_rng(0)
     n_users, n_items = 200_000, 100_000
     rows = []
-    for bsz in (8_192, 16_384, 32_768, 65_536, 131_072):
+    for bsz in (4_096, 8_192, 16_384, 32_768, 65_536, 131_072):
         batch_np = {
             "user_id": rng.integers(0, n_users, bsz).astype(np.int32),
             "movie_id": rng.integers(0, n_items, bsz).astype(np.int32),

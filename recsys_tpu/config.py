@@ -78,20 +78,25 @@ class ModelConfig:
     use_pallas_dcn: bool = False
     # Retrieval-loss implementation policy ("auto" | True | False |
     # "chunked"; losses.resolve_retrieval_loss). The measured regime
-    # map (v5e, dim 128 — kernels_tpu.json): through B=64k square the
-    # XLA bf16-logits path wins (bf16_retrieval_logits above; FULL
-    # train step at B=32k: 27.9 ms XLA vs 38.2 flash); at B>=128k NO
-    # logits matrix fits 16 GB HBM at any dtype — the XLA step OOMs
-    # while flash runs the full train step at 476 ms (275k examples/s,
-    # "train_step_flash") and beats the chunked-scan XLA equivalent
-    # 1.49x. "auto" (default) encodes exactly that: dense XLA while
-    # the bf16 logits fit retrieval_logits_cap_gb, else the flash
-    # Pallas kernel (ops/pallas/flash_ce.py — never materializes the
-    # logits; composes with global_negatives via the rectangular
-    # all-gathered-candidates kernel) on TPU or the chunked lax.scan
-    # (losses.in_batch_softmax_chunked) elsewhere. True/False/"chunked"
-    # force a path — with a trace-time warning when the forced path is
-    # in its measured losing regime.
+    # map (v5e, dim 128 — kernels_tpu.json "train_step_flash", FULL
+    # fwd+bwd+adagrad step, round 4 with the fused flash backward):
+    # XLA wins at B=4k square (4.00 vs 4.64 ms); flash wins from 8k
+    # candidates up (6.33 vs 6.70 at 8k, 22.3 vs 27.9 at 32k, 64.2 vs
+    # 88.4 at 64k) and at B>=128k NO logits matrix fits 16 GB HBM at
+    # any dtype — only flash runs (243.6 ms, 539k examples/s; 1.49x
+    # over the chunked-scan XLA equivalent). NOTE the kernel-only
+    # microbench ranks xla-bf16 ahead of flash through 64k ("flash_ce"
+    # rows) — the full step disagrees because the dense path's
+    # materialized logits poison scheduling/memory around the loss;
+    # the policy follows the full step. "auto" (default): on TPU,
+    # flash from 8192 candidates; below, dense XLA. Off-TPU: dense XLA
+    # while the bf16 logits fit retrieval_logits_cap_gb, chunked
+    # lax.scan (losses.in_batch_softmax_chunked) above. The flash
+    # kernel (ops/pallas/flash_ce.py) never materializes the logits
+    # and composes with global_negatives via the rectangular
+    # all-gathered-candidates form. True/False/"chunked" force a path
+    # — with a trace-time warning when the forced path is in its
+    # measured losing regime.
     # NOTE on numerics: the flash path's bf16 policy
     # (bf16_retrieval_logits="auto", n_cand >= 8192) casts the U/V
     # EMBEDDING operands to bfloat16 (all reductions stay fp32 inside

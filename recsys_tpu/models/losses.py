@@ -24,6 +24,13 @@ from jax import lax
 _REGIME_WARNED: set = set()
 
 
+# On-TPU full-train-step crossover (kernels_tpu.json
+# "train_step_flash", v5e, dim 128, fwd+bwd+adagrad): XLA wins at
+# B=4k square (4.00 vs 4.64 ms), flash wins from 8k up (6.33 vs 6.70
+# at 8k, widening to 64.2 vs 88.4 at 64k; at 128k only flash runs).
+_FLASH_MIN_CANDIDATES = 8192
+
+
 def resolve_retrieval_loss(
     setting, b_local: int, n_candidates: int, platform: str,
     cap_gb: float = 8.0,
@@ -34,31 +41,37 @@ def resolve_retrieval_loss(
     (lax.scan online-softmax — the non-TPU flash equivalent).
 
     ``setting`` is ``ModelConfig.use_flash_ce``: ``"auto"`` (default)
-    keys on whether the bf16 logits matrix fits under ``cap_gb``;
+    encodes the measured regime map (kernels_tpu.json, v5e dim 128):
+
+    * TPU: flash from ``_FLASH_MIN_CANDIDATES`` (=8k) candidates up —
+      the FULL train step is faster there (1.06-1.38x through B=64k,
+      and past ``cap_gb`` of bf16 logits it is the only path that
+      runs at all); dense XLA below (flash's fixed kernel overhead
+      loses at B=4k).
+    * non-TPU: dense XLA while the bf16 logits fit ``cap_gb``, the
+      chunked scan above (flash's non-TPU fallbacks materialize).
+
     True/False/"chunked" force a path, with a trace-time warning when
-    the forced path is in its measured losing regime (VERDICT r3
-    item 3; regime map: benchmarks/results/kernels_tpu.json — on a
-    16 GB v5e, dim 128: XLA bf16-logits wins through B=64k square
-    [8 GiB logits], at B>=128k square no logits matrix fits HBM at
-    any dtype and flash is the only fast path, 1.49x over chunked).
+    the forced path is in its measured losing regime.
     """
     logits_gb = b_local * n_candidates * 2 / 2**30  # bf16 footprint
     fits = logits_gb <= cap_gb
+    flash_wins = platform == "tpu" and n_candidates >= _FLASH_MIN_CANDIDATES
 
     def _warn(msg):
-        key = (repr(setting), fits, platform)
+        key = (repr(setting), fits, flash_wins, platform)
         if key not in _REGIME_WARNED:
             _REGIME_WARNED.add(key)
             warnings.warn(msg, stacklevel=3)
 
     if setting is True:
-        if fits:
+        if fits and not flash_wins:
             _warn(
-                f"use_flash_ce=True at [{b_local}, {n_candidates}] logits "
-                f"({logits_gb:.2f} GB bf16 <= cap {cap_gb} GB): the XLA "
-                "bf16-logits path is measured faster in this regime "
-                "(kernels_tpu.json; e.g. 27.9 vs 38.2 ms full step at "
-                "B=32k) — use_flash_ce='auto' picks the winner per shape.")
+                f"use_flash_ce=True at [{b_local}, {n_candidates}] "
+                "logits: the dense XLA path is measured faster below "
+                f"{_FLASH_MIN_CANDIDATES} candidates (kernels_tpu.json "
+                "train_step_flash: 4.00 vs 4.64 ms full step at B=4k) — "
+                "use_flash_ce='auto' picks the winner per shape.")
         return "flash"
     if setting == "chunked":
         return "chunked"
@@ -71,10 +84,18 @@ def resolve_retrieval_loss(
                 "expected to OOM (kernels_tpu.json: B=128k square OOMs at "
                 "every dtype on 16 GB) — use_flash_ce='auto' would take "
                 "the non-materializing path.")
+        elif flash_wins:
+            _warn(
+                f"use_flash_ce=False at [{b_local}, {n_candidates}] "
+                "logits on TPU: the flash kernel is measured faster for "
+                f"the full train step from {_FLASH_MIN_CANDIDATES} "
+                "candidates up (kernels_tpu.json train_step_flash; e.g. "
+                "22.3 vs 27.9 ms at B=32k) — use_flash_ce='auto' would "
+                "take it.")
         return "xla"
-    # "auto": dense XLA while the logits fit (measured fastest), else
-    # the non-materializing path — flash kernel on TPU, chunked scan
-    # elsewhere (flash's non-TPU fallbacks materialize dense logits)
+    # "auto"
+    if flash_wins:
+        return "flash"
     if fits:
         return "xla"
     return "flash" if platform == "tpu" else "chunked"

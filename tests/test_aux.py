@@ -147,6 +147,7 @@ def test_replication_checksum_clean_and_desynced():
         assert_replicated({"w": subtle}, ctx.mesh, ctx.data_axis)
 
 
+@pytest.mark.slow  # >40s: heavy SPMD/CLI lane (ROUND4 item 8)
 def test_trainer_replication_check_runs(tiny_bundle, tmp_path):
     """TrainConfig.replication_check_every_epochs wires the checksum
     into the epoch loop and logs it."""

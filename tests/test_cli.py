@@ -97,6 +97,7 @@ def test_evaluate_cli(raw_dir, tmp_path, capsys):
     assert report["split"] == "test"
 
 
+@pytest.mark.slow  # >40s: heavy SPMD/CLI lane (ROUND4 item 8)
 def test_train_cli_spmd_flags(raw_dir, tmp_path):
     """The round-2 mesh flags end-to-end through the CLI: row-sharded
     tables read through the a2a lookup inside the train step, plus

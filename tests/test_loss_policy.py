@@ -24,6 +24,18 @@ def test_auto_small_batch_picks_xla():
     assert losses.resolve_retrieval_loss("auto", 4096, 4096, "cpu") == "xla"
 
 
+def test_auto_tpu_picks_flash_from_full_step_crossover():
+    """On TPU the FULL-train-step measurement (kernels_tpu.json
+    train_step_flash) puts flash ahead from 8k candidates; 'auto'
+    follows the full step, not the kernel microbench."""
+    assert losses.resolve_retrieval_loss("auto", 8192, 8192, "tpu") == "flash"
+    assert losses.resolve_retrieval_loss(
+        "auto", 4096, 32768, "tpu") == "flash"  # rectangular: global negs
+    assert losses.resolve_retrieval_loss("auto", 4096, 4096, "tpu") == "xla"
+    # off-TPU the crossover does not apply (no Pallas kernel)
+    assert losses.resolve_retrieval_loss("auto", 8192, 8192, "cpu") == "xla"
+
+
 def test_auto_over_cap_picks_flash_on_tpu_chunked_elsewhere():
     b = 131072  # 128k square: 32 GB bf16 logits > 8 GiB cap
     assert losses.resolve_retrieval_loss("auto", b, b, "tpu") == "flash"

@@ -260,6 +260,7 @@ def test_in_batch_softmax_bf16_logits_close():
         assert np.median(rel) < 0.1
 
 
+@pytest.mark.slow  # >40s: heavy SPMD/CLI lane (ROUND4 item 8)
 def test_ablation_flags_reproduce_plain_retrieval_loss():
     """use_item_bias=False + accidental_hit_mask=False (+ no log_q in
     the batch) must make the retrieval term exactly the reference's

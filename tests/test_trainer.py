@@ -70,6 +70,7 @@ def test_end_to_end_training_improves(tiny_bundle, tmp_path):
     assert len(vocabs["items"]) == n_items
 
 
+@pytest.mark.slow  # >40s: heavy SPMD/CLI lane (ROUND4 item 8)
 def test_sharded_embedding_training_matches_replicated(tiny_bundle, tmp_path):
     """rows-sharded tables (model_parallel=4) must produce the same
     training trajectory as replicated (same seed, same batches)."""

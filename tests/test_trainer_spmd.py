@@ -157,6 +157,7 @@ def test_global_negatives_match_single_device_concat(batches):
         float(metrics["loss"]), float(loss_1dev), rtol=1e-5)
 
 
+@pytest.mark.slow  # >40s: heavy SPMD/CLI lane (ROUND4 item 8)
 def test_per_replica_negatives_semantics(batches):
     """``global_negatives=False`` under data parallelism: the retrieval
     softmax runs per-replica over each [B_local, B_local] block (exact
