@@ -83,20 +83,26 @@ def check_readme() -> list:
          "scale.train.examples_per_s_sparse", 1e-6, 0.01),
         ("sparse speedup", r"\*\*([\d.]+)×\*\* over dense updates",
          "scale.train.speedup_sparse_vs_dense", 1, 0.01),
-        ("serve retrieval QPS", r"\*\*([\d,]+) QPS / p95 [\d.]+ ms\*\* "
-         r"retrieval-only", "serve.http_1worker_microbatch.qps", 1, 0.01),
-        ("serve retrieval p95", r"\*\*[\d,]+ QPS / p95 ([\d.]+) ms\*\* "
-         r"retrieval-only", "serve.http_1worker_microbatch.p95_ms", 1, 0.01),
-        ("serve rerank QPS", r"\*\*([\d,]+) QPS / p95 [\d.]+ ms\*\* with "
-         r"full two-stage", "serve.http_1worker_rerank200_microbatch.qps",
+        ("serve aio QPS", r"\*\*([\d,]+) QPS / p95 [\d.]+ ms\*\* "
+         r"retrieval-only", "serve.http_aio.qps", 1, 0.01),
+        ("serve aio p95", r"\*\*[\d,]+ QPS / p95 ([\d.]+) ms\*\* "
+         r"retrieval-only", "serve.http_aio.p95_ms", 1, 0.01),
+        ("serve aio rerank QPS", r"\*\*([\d,]+) QPS / p95 [\d.]+ ms\*\* "
+         r"with rerank-200", "serve.http_aio_rerank200.qps", 1, 0.01),
+        ("serve aio rerank p95", r"\*\*[\d,]+ QPS / p95 ([\d.]+) ms\*\* "
+         r"with rerank-200", "serve.http_aio_rerank200.p95_ms", 1, 0.01),
+        ("serve threaded-mb QPS", r"to clear it: ([\d,]+) QPS / p95 "
+         r"[\d.]+ ms retrieval-only", "serve.http_1worker_microbatch.qps",
          1, 0.01),
-        ("serve rerank p95", r"\*\*[\d,]+ QPS / p95 ([\d.]+) ms\*\* with "
-         r"full two-stage", "serve.http_1worker_rerank200_microbatch.p95_ms",
+        ("serve threaded-mb p95", r"to clear it: [\d,]+ QPS / p95 "
+         r"([\d.]+) ms retrieval-only", "serve.http_1worker_microbatch.p95_ms",
          1, 0.01),
+        ("serve threaded-mb rerank QPS", r"and ([\d,]+) QPS / p95 [\d.]+ ms "
+         r"rerank;", "serve.http_1worker_rerank200_microbatch.qps", 1, 0.01),
         ("serve nomicrobatch QPS", r"does (\d+) QPS / p95 [\d.]+ ms "
-         r"\(retrieval\)", "serve.http_single.qps", 1, 0.01),
+         r"\(retrieval", "serve.http_single.qps", 1, 0.01),
         ("serve nomicrobatch p95", r"does \d+ QPS / p95 ([\d.]+) ms "
-         r"\(retrieval\)", "serve.http_single.p95_ms", 1, 0.01),
+         r"\(retrieval", "serve.http_single.p95_ms", 1, 0.01),
     ]
 
     failures = []

@@ -121,7 +121,7 @@ def bench_batch(service, user_ids, n_batches: int, batch: int, k: int):
 def bench_multiworker(model_dir: str, n_requests: int, k: int,
                       workers: int = 4, client_procs: int = 4,
                       client_threads: int = 8, microbatch: int = 0,
-                      rerank: int = 0):
+                      rerank: int = 0, server: str = "threaded"):
     """Out-of-process bench: fork `workers` SO_REUSEPORT serving
     processes via scripts/serve.py (the production multi-worker mode),
     hammer them with keep-alive connections from separate client
@@ -142,7 +142,7 @@ def bench_multiworker(model_dir: str, n_requests: int, k: int,
         [sys.executable, os.path.join(repo, "scripts", "serve.py"),
          "--model_dir", model_dir, "--port", str(port),
          "--workers", str(workers), "--microbatch", str(microbatch),
-         "--rerank_candidates", str(rerank)],
+         "--rerank_candidates", str(rerank), "--server", server],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True,
     )
@@ -226,7 +226,7 @@ def bench_multiworker(model_dir: str, n_requests: int, k: int,
         total = sum(r[0] for r in results)
         lat = sum((r[1] for r in results), [])
         return {"qps": total / wall, "workers": workers,
-                "client_procs": client_procs,
+                "server": server, "client_procs": client_procs,
                 "client_threads": client_threads, **_percentiles(lat)}
     finally:
         os.killpg(proc.pid, signal.SIGTERM)
@@ -245,6 +245,9 @@ def main() -> int:
     ap.add_argument("--workers", type=int, default=4,
                     help="SO_REUSEPORT processes for the multi-worker bench "
                          "(0 = skip)")
+    ap.add_argument("--aio_only", action="store_true",
+                    help="measure only the asyncio-frontend rows and merge "
+                         "them into --output (the rest of the file is kept)")
     args = ap.parse_args()
 
     import logging
@@ -252,6 +255,33 @@ def main() -> int:
     logging.basicConfig(level=logging.WARNING)
 
     from recsys_tpu.serve.service import RecommendationService
+
+    if args.aio_only:
+        # asyncio-frontend rows only (out-of-process load, same shape
+        # as the http_1worker* rows they are compared against)
+        rr_probe = RecommendationService(
+            args.model_dir, backend=args.backend, rerank_candidates=200
+        ).load()
+        n_mw = max(args.requests * 8, 16000)
+        rows = {
+            "http_aio": bench_multiworker(
+                args.model_dir, n_mw, args.k, workers=1,
+                client_procs=2, client_threads=8, server="asyncio"),
+        }
+        if rr_probe._rerank_active():
+            rows["http_aio_rerank200"] = bench_multiworker(
+                args.model_dir, n_mw, args.k, workers=1,
+                client_procs=2, client_threads=8, rerank=200,
+                server="asyncio")
+        existing = {}
+        if os.path.exists(args.output):
+            with open(args.output) as f:
+                existing = json.load(f)
+        existing.update(rows)
+        with open(args.output, "w") as f:
+            json.dump(existing, f, indent=2)
+        print(json.dumps(rows, indent=2))
+        return 0
 
     service = RecommendationService(args.model_dir, backend=args.backend).load()
     user_ids = np.array(list(service.user_id_map.keys()))

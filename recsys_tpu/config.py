@@ -84,11 +84,11 @@ class ModelConfig:
     # candidates up (6.33 vs 6.70 at 8k, 22.3 vs 27.9 at 32k, 64.2 vs
     # 88.4 at 64k) and at B>=128k NO logits matrix fits 16 GB HBM at
     # any dtype — only flash runs (243.6 ms, 539k examples/s; 1.49x
-    # over the chunked-scan XLA equivalent). NOTE the kernel-only
-    # microbench ranks xla-bf16 ahead of flash through 64k ("flash_ce"
-    # rows) — the full step disagrees because the dense path's
-    # materialized logits poison scheduling/memory around the loss;
-    # the policy follows the full step. "auto" (default): on TPU,
+    # over the chunked-scan XLA equivalent). The round-4 clean
+    # re-measurement of the kernel microbench agrees ("flash_ce" rows:
+    # flash 2.16-44.6 ms vs bf16-XLA 2.45-64.8 across 8k-64k — the
+    # old pre-fused-backward rows that ranked XLA ahead are
+    # superseded). "auto" (default): on TPU,
     # flash from 8192 candidates; below, dense XLA. Off-TPU: dense XLA
     # while the bf16 logits fit retrieval_logits_cap_gb, chunked
     # lax.scan (losses.in_batch_softmax_chunked) above. The flash

@@ -384,7 +384,7 @@ def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
                stub: bool = False, rerank_candidates: int = 0,
                microbatch: int = 0, microbatch_wait_ms: float = 0.0,
                backend: str = "auto", int8_catalog: bool = False,
-               allow_reload: bool = False) -> None:
+               allow_reload: bool = False, server: str = "threaded") -> None:
     service: Optional[RecommendationService] = None
     if stub:
         from recsys_tpu.serve.service import StubRecommendationService
@@ -401,12 +401,6 @@ def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
             logger.exception(
                 "model load failed; serving in degraded mode (503s)"
             )
-    batcher = None
-    if microbatch > 0 and service is not None:
-        from recsys_tpu.serve.batcher import MicroBatcher
-
-        batcher = MicroBatcher(service, max_batch=microbatch,
-                               max_wait_ms=microbatch_wait_ms).start()
     service_factory = None
     if allow_reload and not stub:
         def service_factory():
@@ -415,12 +409,31 @@ def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
                 rerank_candidates=rerank_candidates,
                 int8_catalog=int8_catalog,
             ).load()
-    server = make_http_server(service, host, port, reuse_port=reuse_port,
-                              batcher=batcher,
-                              service_factory=service_factory)
+    if server == "asyncio":
+        from recsys_tpu.serve.aio import AioHttpServer
+
+        srv = AioHttpServer(
+            service, host, port, reuse_port=reuse_port,
+            max_batch=microbatch or 256,
+            max_wait_ms=microbatch_wait_ms,
+            service_factory=service_factory,
+        )
+        logger.info("serving (asyncio) on %s:%d (model_dir=%s)",
+                    host, port, model_dir)
+        srv.serve_forever()
+        return
+    batcher = None
+    if microbatch > 0 and service is not None:
+        from recsys_tpu.serve.batcher import MicroBatcher
+
+        batcher = MicroBatcher(service, max_batch=microbatch,
+                               max_wait_ms=microbatch_wait_ms).start()
+    http_server = make_http_server(service, host, port,
+                                   reuse_port=reuse_port, batcher=batcher,
+                                   service_factory=service_factory)
     logger.info("serving on %s:%d (model_dir=%s, microbatch=%d)",
                 host, port, model_dir, microbatch)
-    server.serve_forever()
+    http_server.serve_forever()
 
 
 def serve_forever(
@@ -435,6 +448,7 @@ def serve_forever(
     backend: str = "auto",
     int8_catalog: bool = False,
     allow_reload: bool = False,
+    server: str = "threaded",
 ) -> None:
     """Load the inference bundle and serve (uvicorn-replacement entry).
     Startup-failure contract parity (``app/main.py:105-119``): if the
@@ -451,7 +465,8 @@ def serve_forever(
                    rerank_candidates=rerank_candidates,
                    microbatch=microbatch,
                    microbatch_wait_ms=microbatch_wait_ms, backend=backend,
-                   int8_catalog=int8_catalog, allow_reload=allow_reload)
+                   int8_catalog=int8_catalog, allow_reload=allow_reload,
+                   server=server)
         return
     import os as _os
     import signal as _signal
@@ -465,7 +480,7 @@ def serve_forever(
                        microbatch=microbatch,
                        microbatch_wait_ms=microbatch_wait_ms,
                        backend=backend, int8_catalog=int8_catalog,
-                       allow_reload=allow_reload)
+                       allow_reload=allow_reload, server=server)
             _os._exit(0)
         pids.append(pid)
     logger.info("forked %d serving workers on %s:%d", workers, host, port)

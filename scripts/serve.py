@@ -54,6 +54,15 @@ def main(argv=None) -> int:
                          "a retrained bundle from --model_dir without "
                          "restarting (unauthenticated - trusted networks "
                          "only)")
+    ap.add_argument("--server", default="threaded",
+                    choices=["threaded", "asyncio"],
+                    help="HTTP transport: the stdlib threaded server "
+                         "(default; thread per connection + optional "
+                         "micro-batcher thread) or the single-event-loop "
+                         "asyncio frontend (serve/aio.py: no thread "
+                         "convoy, loop-native /recommend coalescing — "
+                         "always on; --microbatch/--microbatch_wait_ms "
+                         "set its batch bound/linger)")
     args = ap.parse_args(argv)
 
     if args.workers > 1:
@@ -85,7 +94,7 @@ def main(argv=None) -> int:
                   microbatch=args.microbatch,
                   microbatch_wait_ms=args.microbatch_wait_ms,
                   backend=args.backend, int8_catalog=args.int8_catalog,
-                  allow_reload=args.allow_reload)
+                  allow_reload=args.allow_reload, server=args.server)
     return 0
 
 

@@ -1,0 +1,133 @@
+"""Asyncio HTTP frontend: contract parity with the threaded server,
+keep-alive, loop-native coalescing, degraded mode."""
+
+import http.client
+import json
+import threading
+import time
+
+import pytest
+
+from recsys_tpu.serve.aio import AioHttpServer
+from recsys_tpu.serve.app import make_http_server
+
+from tests.test_serving import trained_service  # noqa: F401 — fixture
+
+
+def _start_aio(service, **kw):
+    srv = AioHttpServer(service, host="127.0.0.1", port=0, **kw)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    for _ in range(200):
+        if srv.bound_port:
+            return srv
+        time.sleep(0.025)
+    raise RuntimeError("aio server did not bind")
+
+
+def _req(port, method, path, body=None, conn=None):
+    c = conn or http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    payload = json.dumps(body) if body is not None else None
+    headers = {"Content-Type": "application/json"} if payload else {}
+    c.request(method, path, body=payload, headers=headers)
+    r = c.getresponse()
+    data = r.read()
+    out = (r.status, json.loads(data) if
+           r.getheader("Content-Type", "").startswith("application/json")
+           else data.decode())
+    if conn is None:
+        c.close()
+    return out
+
+
+@pytest.fixture(scope="module")
+def aio_server(trained_service):  # noqa: F811
+    svc, bundle = trained_service
+    srv = _start_aio(svc)
+    return srv, bundle
+
+
+def test_aio_contract_matches_threaded(trained_service, aio_server):  # noqa: F811
+    """Same requests -> same (status, payload) on both transports."""
+    svc, bundle = trained_service
+    srv, _ = aio_server
+    threaded = make_http_server(svc, host="127.0.0.1", port=0)
+    t = threading.Thread(target=threaded.serve_forever, daemon=True)
+    t.start()
+    tport = threaded.server_address[1]
+    uid = int(bundle["meta/user_raw_ids"][0])
+    item = int(bundle["meta/movie_raw_ids"][0])
+    matrix = [
+        ("GET", "/", None),
+        ("GET", "/health", None),
+        ("GET", "/model/info", None),
+        ("POST", "/recommend", {"user_id": uid, "k": 5}),
+        ("POST", "/recommend", {"user_id": "1", "k": 5}),     # 422
+        ("POST", "/recommend", {"user_id": uid, "k": 0}),     # 422
+        ("POST", "/recommend", {"user_id": 99999, "k": 3}),   # cold start
+        ("POST", "/recommend/batch", {"user_ids": [uid], "k": 3}),
+        ("POST", "/recommend/batch", {"user_ids": "x"}),      # 422
+        ("POST", "/score", {"user_id": uid, "item_ids": [item]}),
+        ("POST", "/score", {"user_id": 99999, "item_ids": [item]}),  # 404
+        ("POST", "/nope", {"x": 1}),                          # 404
+        ("POST", "/admin/reload", None),                      # 404 (no factory)
+    ]
+    try:
+        for method, path, body in matrix:
+            a = _req(srv.bound_port, method, path, body)
+            b = _req(tport, method, path, body)
+            assert a == b, (method, path, a, b)
+    finally:
+        threaded.shutdown()
+
+
+def test_aio_keep_alive_reuses_connection(aio_server):
+    srv, bundle = aio_server
+    uid = int(bundle["meta/user_raw_ids"][1])
+    conn = http.client.HTTPConnection("127.0.0.1", srv.bound_port,
+                                      timeout=10)
+    try:
+        for _ in range(5):
+            code, body = _req(srv.bound_port, "POST", "/recommend",
+                              {"user_id": uid, "k": 3}, conn=conn)
+            assert code == 200 and len(body["recommendations"]) == 3
+    finally:
+        conn.close()
+
+
+def test_aio_coalesces_concurrent_recommends(aio_server):
+    """N concurrent requests must all be answered and flow through the
+    loop coalescer (metrics expose the batch counters)."""
+    srv, bundle = aio_server
+    uids = bundle["meta/user_raw_ids"]
+    before = srv.coalescer.stats()["n_requests"]
+    n, results = 32, []
+    lock = threading.Lock()
+
+    def one(i):
+        code, body = _req(srv.bound_port, "POST", "/recommend",
+                          {"user_id": int(uids[i % len(uids)]), "k": 4})
+        with lock:
+            results.append((code, len(body.get("recommendations", []))))
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(20)
+    assert len(results) == n and all(r == (200, 4) for r in results)
+    st = srv.coalescer.stats()
+    assert st["n_requests"] - before == n
+    assert st["n_batches"] >= 1
+    # the /metrics endpoint renders the coalescer counters
+    code, text = _req(srv.bound_port, "GET", "/metrics")
+    assert code == 200 and "recsys_microbatch_requests_total" in text
+
+
+def test_aio_degraded_mode_503():
+    srv = _start_aio(None)
+    code, body = _req(srv.bound_port, "POST", "/recommend",
+                      {"user_id": 1, "k": 3})
+    assert code == 503 and body["detail"] == "Model not loaded"
+    code, body = _req(srv.bound_port, "GET", "/health")
+    assert code == 200 and body["status"] == "degraded"
