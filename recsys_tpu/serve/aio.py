@@ -44,8 +44,17 @@ from recsys_tpu.serve.app import MAX_K, Api
 
 logger = logging.getLogger(__name__)
 
-_REASONS = {200: "OK", 404: "Not Found", 422: "Unprocessable Entity",
-            500: "Internal Server Error", 503: "Service Unavailable"}
+_REASONS = {200: "OK", 404: "Not Found", 413: "Payload Too Large",
+            422: "Unprocessable Entity", 500: "Internal Server Error",
+            503: "Service Unavailable"}
+
+# request hardening: a client that lies about Content-Length (or
+# trickles bytes) must not pin a connection open forever, and a huge
+# declared body must not be buffered. The JSON bodies of this API are
+# all < 100 KB (MAX_BATCH_USERS ids).
+_MAX_BODY_BYTES = 1 << 20
+_MAX_HEADER_LINES = 64
+_READ_TIMEOUT_S = 30.0
 
 
 class LoopCoalescer:
@@ -92,7 +101,7 @@ class LoopCoalescer:
         self._pending = self._pending[self.max_batch:]
         if self._pending:  # overflow beyond max_batch: next turn
             self._flush_scheduled = True
-            asyncio.get_event_loop().call_soon(self._flush)
+            asyncio.get_running_loop().call_soon(self._flush)
         if not batch:
             return
         self.n_batches += 1
@@ -156,18 +165,25 @@ class AioHttpServer:
     async def _handle_conn(self, reader, writer) -> None:
         try:
             while True:
-                line = await reader.readline()
+                line = await asyncio.wait_for(reader.readline(),
+                                              _READ_TIMEOUT_S)
                 if not line or line in (b"\r\n", b"\n"):
                     break
                 try:
-                    method, path, _ = line.decode("latin1").split(" ", 2)
+                    method, path, version = line.decode("latin1").split(" ", 2)
                 except ValueError:
                     break
-                length, keep = 0, True
+                # HTTP/1.0 defaults to close; 1.1 to keep-alive
+                length, n_headers = 0, 0
+                keep = "1.0" not in version
                 while True:
-                    h = await reader.readline()
+                    h = await asyncio.wait_for(reader.readline(),
+                                               _READ_TIMEOUT_S)
                     if h in (b"\r\n", b"\n", b""):
                         break
+                    n_headers += 1
+                    if n_headers > _MAX_HEADER_LINES:
+                        return  # header flood: drop the connection
                     name, _, val = h.decode("latin1").partition(":")
                     ln = name.strip().lower()
                     if ln == "content-length":
@@ -177,7 +193,15 @@ class AioHttpServer:
                             length = 0
                     elif ln == "connection" and val.strip().lower() == "close":
                         keep = False
-                raw = await reader.readexactly(length) if length else b""
+                if length > _MAX_BODY_BYTES:
+                    await self._respond(
+                        writer, 413,
+                        json.dumps({"detail": "body too large"}).encode(),
+                        keep=False)
+                    break
+                raw = (await asyncio.wait_for(reader.readexactly(length),
+                                              _READ_TIMEOUT_S)
+                       if length else b"")
                 path = path.split("?", 1)[0]
                 try:
                     body = json.loads(raw) if raw else None
@@ -203,7 +227,7 @@ class AioHttpServer:
                 if not keep:
                     break
         except (asyncio.IncompleteReadError, ConnectionResetError,
-                BrokenPipeError):
+                BrokenPipeError, asyncio.TimeoutError):
             pass
         finally:
             try:

@@ -124,6 +124,38 @@ def test_aio_coalesces_concurrent_recommends(aio_server):
     assert code == 200 and "recsys_microbatch_requests_total" in text
 
 
+def test_aio_rejects_oversized_body(aio_server):
+    srv, _ = aio_server
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", srv.bound_port), timeout=10)
+    try:
+        s.sendall(b"POST /recommend HTTP/1.1\r\n"
+                  b"Content-Length: 99999999\r\n\r\n")
+        data = s.recv(4096)
+        assert b"413" in data.split(b"\r\n", 1)[0]
+    finally:
+        s.close()
+
+
+def test_aio_survives_garbage_and_half_requests(aio_server):
+    """Malformed request lines and closed-mid-request connections must
+    not take the loop down — the next real request still answers."""
+    srv, bundle = aio_server
+    import socket
+
+    for payload in (b"NONSENSE\r\n\r\n", b"POST /recommend HTTP/1.1\r\n"
+                    b"Content-Length: 50\r\n\r\n{\"unfinished"):
+        s = socket.create_connection(("127.0.0.1", srv.bound_port),
+                                     timeout=10)
+        s.sendall(payload)
+        s.close()
+    uid = int(bundle["meta/user_raw_ids"][0])
+    code, body = _req(srv.bound_port, "POST", "/recommend",
+                      {"user_id": uid, "k": 2})
+    assert code == 200 and len(body["recommendations"]) == 2
+
+
 def test_aio_degraded_mode_503():
     srv = _start_aio(None)
     code, body = _req(srv.bound_port, "POST", "/recommend",
