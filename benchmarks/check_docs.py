@@ -83,6 +83,10 @@ def check_readme() -> list:
          "scale.train.examples_per_s_sparse", 1e-6, 0.01),
         ("sparse speedup", r"\*\*([\d.]+)×\*\* over dense updates",
          "scale.train.speedup_sparse_vs_dense", 1, 0.01),
+        ("lazy-adam ex/s", r"lazy-Adam sparse updates run ([\d.]+)M ex/s",
+         "scale.train.examples_per_s_adam_sparse", 1e-6, 0.01),
+        ("lazy-adam speedup", r"\*\*([\d.]+)×\*\* over dense Adam",
+         "scale.train.speedup_adam_sparse_vs_dense", 1, 0.01),
         ("serve aio QPS", r"\*\*([\d,]+) QPS / p95 [\d.]+ ms\*\* "
          r"retrieval-only", "serve.http_aio.qps", 1, 0.01),
         ("serve aio p95", r"\*\*[\d,]+ QPS / p95 ([\d.]+) ms\*\* "

@@ -350,12 +350,17 @@ def bench_train(n_users: int, n_items: int, dim: int, batch: int,
     }
     placed = {k: jax.device_put(v) for k, v in batch_np.items()}
     out = {}
-    for sparse in (True, False):
+    # adagrad sparse/dense (the original rows) + adam sparse/dense
+    # (round 4: lazy-Adam makes the tuned Adam recipe viable on giant
+    # tables — dense adam additionally pays 2 moment tensors of
+    # full-table traffic per step)
+    for opt_name, sparse in (("adagrad", True), ("adagrad", False),
+                             ("adam", True), ("adam", False)):
         cfg = RecsysConfig(
             model=ModelConfig(embedding_dim=dim, mixed_precision=True,
                               dropout_rate=0.2),
             train=TrainConfig(batch_size=batch, epochs=1,
-                              optimizer="adagrad",
+                              optimizer=opt_name,
                               sparse_table_updates=sparse,
                               donate_state=False),
             eval=EvalConfig(topk=(10,)),
@@ -383,6 +388,8 @@ def bench_train(n_users: int, n_items: int, dim: int, batch: int,
         _ = float(last)
         dt = (time.perf_counter() - t0) / n
         key = "sparse" if sparse else "dense"
+        if opt_name != "adagrad":
+            key = f"{opt_name}_{key}"
         out[f"step_ms_{key}"] = round(dt * 1e3, 3)
         out[f"examples_per_s_{key}"] = round(batch / dt, 1)
         del s2, state
@@ -396,6 +403,8 @@ def bench_train(n_users: int, n_items: int, dim: int, batch: int,
         "batch": batch,
         "speedup_sparse_vs_dense": round(
             out["step_ms_dense"] / out["step_ms_sparse"], 1),
+        "speedup_adam_sparse_vs_dense": round(
+            out["step_ms_adam_dense"] / out["step_ms_adam_sparse"], 1),
     })
     return out
 

@@ -256,8 +256,13 @@ class TrainConfig:
     # model). On tiny tables the sort/segment/scatter overhead loses
     # (~0.46 ms at B=4096), so "auto" (default) picks sparse only when
     # the tables exceed ~32M elements (the measured crossover on v5e).
-    # adagrad-only (sparse adam has lazy-moment semantics, not
-    # implemented); ignored for other optimizers and for the
+    # With optimizer="adagrad" the sparse step is BIT-EXACT to the
+    # dense one (adagrad has no per-step decay on untouched slots);
+    # with optimizer="adam" it runs LAZY-Adam semantics (round 4,
+    # optimizer.sparse_lazy_adam_combined — untouched rows keep
+    # un-decayed moments and receive no momentum tail, TF-LazyAdam
+    # parity; a documented divergence from dense Adam that makes the
+    # tuned Adam recipe usable on giant tables). Ignored for the
     # explicit-negatives path. Values: "auto" | True | False.
     sparse_table_updates: Any = "auto"
     # jax_debug_nans: every jitted computation re-runs eagerly on NaN

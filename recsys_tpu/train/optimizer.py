@@ -196,6 +196,56 @@ def sparse_adagrad_rows(
     )
 
 
+def sparse_lazy_adam_combined(
+    table: jnp.ndarray,
+    mu: jnp.ndarray,
+    nu: jnp.ndarray,
+    slot_ids: jnp.ndarray,
+    combined: jnp.ndarray,
+    valid: jnp.ndarray,
+    lr: jnp.ndarray,
+    step: jnp.ndarray,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    grad_scale=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LAZY Adam over pre-combined unique-row gradients (see
+    :func:`combine_duplicate_rows`): moments and parameters are updated
+    only for the batch's touched rows; untouched rows keep their
+    moments un-decayed and receive no momentum-driven update.
+
+    This is TensorFlow's ``LazyAdam`` semantics — a DOCUMENTED
+    divergence from dense Adam (which decays every row's momentum and
+    moves every row with non-zero ``mu`` each step), not a bit-exact
+    restriction of it the way ``sparse_adagrad_rows`` is. It is the
+    standard production trade for giant embedding tables: dense Adam's
+    O(V·D) moment decay per step is exactly the traffic sparse updates
+    exist to avoid. Bias correction uses the GLOBAL step (matching
+    LazyAdam), so a row touched for the first time late in training
+    still gets a well-scaled update.
+    """
+    if grad_scale is not None:
+        combined = combined * grad_scale
+    vshape = (-1,) + (1,) * (combined.ndim - 1)
+    vmask = valid.reshape(vshape)
+    safe = jnp.clip(slot_ids, 0, table.shape[0] - 1)
+    mu_rows = jnp.take(mu, safe, axis=0)
+    nu_rows = jnp.take(nu, safe, axis=0)
+    g = jnp.where(vmask, combined, 0.0)
+    new_mu_rows = jnp.where(vmask, b1 * mu_rows + (1 - b1) * g, mu_rows)
+    new_nu_rows = jnp.where(vmask, b2 * nu_rows + (1 - b2) * g * g, nu_rows)
+    t = step.astype(jnp.float32) + 1.0
+    mhat = new_mu_rows / (1 - b1 ** t)
+    vhat = new_nu_rows / (1 - b2 ** t)
+    delta = lr * mhat / (jnp.sqrt(vhat) + eps)
+    mu = mu.at[slot_ids].set(new_mu_rows, mode="drop")
+    nu = nu.at[slot_ids].set(new_nu_rows, mode="drop")
+    table = table.at[slot_ids].add(jnp.where(vmask, -delta, 0.0),
+                                   mode="drop")
+    return table, mu, nu
+
+
 def make_schedule(train_cfg) -> Schedule:
     return exponential_decay(
         train_cfg.learning_rate,

@@ -211,10 +211,13 @@ class Trainer:
     def _step_core(self, class_weights, use_explicit_negs: bool):
         cfg = self.config
         opt = self.optimizer
+        # sparse updates: adagrad is bit-exact to the dense step; adam
+        # runs with LAZY moment semantics (sparse_lazy_adam_combined)
+        sparse_capable = cfg.train.optimizer in ("adagrad", "adam")
         if self._use_spmd_step():
             sparse = (
                 self._resolve_sparse_updates()
-                and cfg.train.optimizer == "adagrad"
+                and sparse_capable
                 and not use_explicit_negs
             )
             return self._step_core_spmd(
@@ -222,7 +225,7 @@ class Trainer:
             )
         if (
             self._resolve_sparse_updates()
-            and cfg.train.optimizer == "adagrad"
+            and sparse_capable
             and not use_explicit_negs
         ):
             return self._step_core_sparse(class_weights)
@@ -261,17 +264,24 @@ class Trainer:
         and produce ``(new_params, new_opt)`` with dense-scatter-add
         semantics: duplicates combined, global-norm clipping over dense
         grads + combined rows (identical value to the dense path —
-        untouched rows contribute zero), plain adagrad on dense leaves,
-        touched-rows-only adagrad on the tables. Runs under the
+        untouched rows contribute zero), the configured optimizer on
+        dense leaves, touched-rows-only updates on the tables:
+        adagrad bit-exact to the dense step (no per-step decay on
+        untouched slots), adam with LAZY semantics
+        (``optimizer.sparse_lazy_adam_combined`` — untouched rows keep
+        un-decayed moments, the TF-LazyAdam trade that makes the
+        flagship Adam recipe usable on giant tables). Runs under the
         enclosing jit, so sharded tables get partitioned scatters."""
         from recsys_tpu.train import optimizer as opt_lib
 
         cfg = self.config
+        opt_name = cfg.train.optimizer
         sched = opt_lib.make_schedule(cfg.train)
         # the dense leaves (DCN + heads) must honor the ranking-LR split
         # exactly like the dense step's optimizer; the table rows below
         # are retrieval-side and keep the base LR by definition
-        noclip = opt_lib.adagrad(
+        noclip = (opt_lib.adagrad if opt_name == "adagrad"
+                  else opt_lib.adam)(
             sched, clipnorm=0.0,
             lr_scale_fn=opt_lib.ranking_lr_scale(cfg.train),
         )
@@ -312,31 +322,46 @@ class Trainer:
             **params,
             "towers": {k: v for k, v in tw.items() if k not in keys},
         }
-        acc = state.opt_state["accum"]
-        dense_acc = {
-            **acc,
-            "towers": {
-                k: v for k, v in acc["towers"].items() if k not in keys
-            },
+        # slot trees ("accum" for adagrad; "mu"/"nu" for adam) mirror
+        # the params tree — slice the table leaves out of each
+        slots = state.opt_state
+        dense_slots = {
+            s: {
+                **t,
+                "towers": {
+                    k: v for k, v in t["towers"].items() if k not in keys
+                },
+            }
+            for s, t in slots.items()
         }
         new_dense, new_dense_opt = noclip.update(
-            dense_grads,
-            {"accum": dense_acc},
-            dense_params,
-            state.step,
+            dense_grads, dense_slots, dense_params, state.step,
         )
         lr = sched(state.step)
         new_tw = dict(new_dense["towers"])
-        new_acc_tw = dict(new_dense_opt["accum"]["towers"])
+        new_slots_tw = {
+            s: dict(new_dense_opt[s]["towers"]) for s in new_dense_opt
+        }
         for k in keys:
             slot, c, valid = comb[k]
-            new_tw[k], new_acc_tw[k] = opt_lib.sparse_adagrad_combined(
-                tw[k], acc["towers"][k], slot, c, valid, lr,
-                grad_scale=scale,
-            )
+            if opt_name == "adagrad":
+                new_tw[k], new_slots_tw["accum"][k] = (
+                    opt_lib.sparse_adagrad_combined(
+                        tw[k], slots["accum"]["towers"][k], slot, c,
+                        valid, lr, grad_scale=scale,
+                    )
+                )
+            else:  # adam -> lazy adam on the touched rows
+                (new_tw[k], new_slots_tw["mu"][k],
+                 new_slots_tw["nu"][k]) = opt_lib.sparse_lazy_adam_combined(
+                    tw[k], slots["mu"]["towers"][k],
+                    slots["nu"]["towers"][k], slot, c, valid, lr,
+                    state.step, grad_scale=scale,
+                )
         new_params = {**new_dense, "towers": new_tw}
         new_opt = {
-            "accum": {**new_dense_opt["accum"], "towers": new_acc_tw}
+            s: {**new_dense_opt[s], "towers": new_slots_tw[s]}
+            for s in new_dense_opt
         }
         return new_params, new_opt
 
