@@ -80,6 +80,7 @@ def run_one(name: str, spec: dict, bundle) -> dict:
                         num_hard_negatives=4, num_random_negatives=8),
         train=TrainConfig(batch_size=spec["batch_size"], epochs=spec["epochs"],
                           learning_rate=spec["lr"], optimizer="adam",
+                          negative_cache=spec.get("negative_cache", 0),
                           logq_correction=not ablate,
                           lr_decay_steps=100_000, early_stop_patience=6,
                           early_stop_metric="val_recall@10",

@@ -265,6 +265,23 @@ class TrainConfig:
     # tuned Adam recipe usable on giant tables). Ignored for the
     # explicit-negatives path. Values: "auto" | True | False.
     sparse_table_updates: Any = "auto"
+    # Cross-batch negative cache (CBNS, Wang et al. 2021,
+    # arXiv:2110.15154 — retrieved-paper technique): a FIFO of the last
+    # N item embeddings (+ their ids and bias-logq corrections) from
+    # previous steps is appended to the in-batch softmax candidate axis
+    # as extra negatives — N more negatives at ZERO extra tower cost
+    # (the cached embeddings are reused, stop-gradient'd, slightly
+    # stale). 0 = off (reference parity AND the measured right default
+    # at MovieLens scale: with B=4096 in-batch negatives over a
+    # 3,883-item catalog every item is already a near-every-step
+    # negative, and the stale extra copies measurably HURT — recall@10
+    # ratio 0.946 at 4B / 0.921 at 16B vs cache-off,
+    # benchmarks/results/negatives_cache.json. The technique targets
+    # B << catalog regimes, where in-batch negatives are scarce.)
+    # Must be a multiple of the global batch size; rides the GSPMD
+    # step (with the a2a/psum explicit-SPMD step it raises — compose
+    # it with lookup_strategy "xla").
+    negative_cache: int = 0
     # jax_debug_nans: every jitted computation re-runs eagerly on NaN
     # so the faulting primitive is named (SURVEY §5.2)
     debug_nans: bool = False

@@ -110,6 +110,7 @@ def in_batch_softmax(
     log_q: Optional[jnp.ndarray] = None,
     item_bias: Optional[jnp.ndarray] = None,
     logits_dtype=None,
+    extra_candidates=None,
 ) -> jnp.ndarray:
     """In-batch sampled-softmax retrieval loss.
 
@@ -129,6 +130,17 @@ def in_batch_softmax(
     conditional P(item|user) instead of the popularity-debiased ratio
     P(item|user)/P(item). Without it, top-k against a popularity-skewed
     ground truth is systematically handicapped.
+
+    ``extra_candidates``: optional ``(emb [N, D], ids [N], corr [N])``
+    of ADDITIONAL negative columns appended to the candidate axis —
+    the cross-batch negative cache of CBNS (Wang et al. 2021,
+    arXiv:2110.15154): embeddings of recent batches' items reused as
+    negatives at zero tower cost. ``corr`` is their column correction
+    (item_bias - log_q at cache time; -1e9 marks empty slots, which
+    then contribute exp(-inf)=0 to the softmax). Cached copies of a
+    row's positive item are excluded by the accidental-hit mask (their
+    ids match ``item_ids``), so requires ``item_ids`` when masking is
+    wanted. Positives always live in the first (in-batch) segment.
     """
     b = user_emb.shape[0]
     if axis_name is None:
@@ -150,6 +162,22 @@ def in_batch_softmax(
             if item_bias is not None else None
         )
         diag = jnp.arange(b) + lax.axis_index(axis_name) * b
+    if extra_candidates is not None:
+        x_emb, x_ids, x_corr = extra_candidates
+        # fold the batch block's separate bias/logq columns and the
+        # cache block's combined corr into ONE correction vector
+        base_corr = jnp.zeros((candidates.shape[0],), jnp.float32)
+        if cand_bias is not None:
+            base_corr = base_corr + cand_bias
+        if cand_logq is not None:
+            base_corr = base_corr - cand_logq
+        corr_full = jnp.concatenate([base_corr, x_corr.astype(jnp.float32)])
+        candidates = jnp.concatenate(
+            [candidates, lax.stop_gradient(x_emb).astype(candidates.dtype)]
+        )
+        if cand_ids is not None:
+            cand_ids = jnp.concatenate([cand_ids, x_ids])
+        cand_bias, cand_logq = corr_full, None  # single fused column add
     # logits_dtype=bfloat16 halves the HBM traffic of the [B, B] matrix
     # (the train-step bottleneck at B=4096: the step is memory-bound on
     # these logits, not MXU-bound); reductions still accumulate in f32

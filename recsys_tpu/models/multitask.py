@@ -95,6 +95,7 @@ class MultiTaskModel:
         neg_item_ids: Optional[jnp.ndarray] = None,
         lookup=None,
         data_axis_size: int = 1,
+        extra_candidates=None,
     ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Weighted multi-task loss + metric dict.
 
@@ -107,6 +108,11 @@ class MultiTaskModel:
         runs inside a shard_map — the bf16-logits "auto" threshold keys
         on the CANDIDATE axis of the [B_local, B_global] logits matrix,
         which is B_local * axis_size under global negatives.
+        ``extra_candidates`` ``(emb [N, D], ids [N], corr [N])``
+        appends the CBNS cross-batch negative cache to the retrieval
+        candidate axis (``TrainConfig.negative_cache``); when set, the
+        metric dict gains ``item_embedding`` (this step's item block,
+        for the trainer's FIFO cache update).
         """
         k_fwd = k_neg = None
         if key is not None:
@@ -156,6 +162,8 @@ class MultiTaskModel:
         n_candidates = u_retr.shape[0] * (
             data_axis_size if (global_negatives and data_axis) else 1
         )
+        if extra_candidates is not None:
+            n_candidates = n_candidates + extra_candidates[0].shape[0]
         loss_path = losses.resolve_retrieval_loss(
             cfg.use_flash_ce, u_retr.shape[0], n_candidates,
             jax.devices()[0].platform, cfg.retrieval_logits_cap_gb,
@@ -179,11 +187,14 @@ class MultiTaskModel:
                 # same bf16 policy as the XLA logits path: the kernel's
                 # five B*B*D MXU dots run ~4x faster in bf16 on v5e
                 bf16=cfg.bf16_retrieval_logits,
+                extra_candidates=extra_candidates,
             )
-        elif loss_path == "chunked":
+        elif loss_path == "chunked" and extra_candidates is None:
             # the non-TPU non-materializing path: online-softmax scan
             # over candidate chunks (jax.checkpoint'd — backward
-            # recomputes per-chunk logits instead of saving them)
+            # recomputes per-chunk logits instead of saving them).
+            # (with a negative cache the dense XLA path below is used
+            # instead — chunked has no extra-candidates support)
             retr = losses.in_batch_softmax_chunked(
                 u_retr.astype(emb_dtype),
                 out.item_embedding.astype(emb_dtype),
@@ -209,6 +220,7 @@ class MultiTaskModel:
                             and n_candidates >= 8192)
                     ) else None
                 ),
+                extra_candidates=extra_candidates,
             )
         if neg_item_ids is not None:
             neg_emb = TwoTower.item_embed(

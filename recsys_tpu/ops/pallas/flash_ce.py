@@ -520,6 +520,7 @@ def in_batch_softmax_flash(
     item_bias: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
     bf16: "bool | str" = "auto",
+    extra_candidates=None,
 ) -> jnp.ndarray:
     """Drop-in equivalent of ``losses.in_batch_softmax`` backed by the
     flash kernel. With ``axis_name`` set (inside ``shard_map``), the
@@ -560,6 +561,17 @@ def in_batch_softmax_flash(
             jnp.arange(b, dtype=jnp.int32)
             + lax.axis_index(axis_name).astype(jnp.int32) * b
         )
+    if extra_candidates is not None:
+        # CBNS cross-batch negative cache (see losses.in_batch_softmax):
+        # the kernel is rectangular already — the cache just extends the
+        # candidate axis; positives stay in the first segment
+        x_emb, x_ids, x_corr = extra_candidates
+        cand = jnp.concatenate(
+            [cand, jax.lax.stop_gradient(x_emb).astype(cand.dtype)]
+        )
+        cand_ids = jnp.concatenate([cand_ids, x_ids])
+        cand_corr = jnp.concatenate([cand_corr,
+                                     x_corr.astype(jnp.float32)])
     ce = flash_softmax_ce(user_emb, cand, cand_corr, item_ids, cand_ids,
                           pos_idx)
     if mask is not None:

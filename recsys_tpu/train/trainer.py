@@ -70,6 +70,10 @@ class TrainState(NamedTuple):
     opt_state: Any
     step: jnp.ndarray
     rng: jax.Array
+    # auxiliary carried state; today: the CBNS cross-batch negative
+    # cache ({"emb" [N, D], "ids" [N], "corr" [N]} FIFO) when
+    # TrainConfig.negative_cache > 0, else None (absent from the tree)
+    extras: Any = None
 
 
 def _dropout_key(impl: str, base: jax.Array, step: jnp.ndarray) -> jax.Array:
@@ -128,7 +132,8 @@ class Trainer:
 
         opt_sh = {k: slot_sharding(v) for k, v in state_shape.opt_state.items()}
         rep = NamedSharding(ctx.mesh, P())
-        return TrainState(params_sh, opt_sh, rep, rep)
+        extras_sh = jax.tree.map(lambda _: rep, state_shape.extras)
+        return TrainState(params_sh, opt_sh, rep, rep, extras_sh)
 
     def batch_sharding_tree(self, batch: Dict[str, np.ndarray]):
         ctx = self.ctx
@@ -150,8 +155,20 @@ class Trainer:
         def _init(key):
             params = MultiTaskModel.init(key, cfg.model, n_users, n_items, rows_mult)
             opt_state = self.optimizer.init(params)
+            extras = None
+            if cfg.train.negative_cache > 0:
+                n = cfg.train.negative_cache
+                extras = {
+                    # empty slots: out-of-vocab id (-1 never matches a
+                    # real id) + corr -1e9 (exp -> 0 in the softmax)
+                    "emb": jnp.zeros((n, cfg.model.embedding_dim),
+                                     jnp.float32),
+                    "ids": jnp.full((n,), -1, jnp.int32),
+                    "corr": jnp.full((n,), -1e9, jnp.float32),
+                }
             return TrainState(
-                params, opt_state, jnp.zeros((), jnp.int32), jax.random.PRNGKey(seed + 1)
+                params, opt_state, jnp.zeros((), jnp.int32),
+                jax.random.PRNGKey(seed + 1), extras,
             )
 
         key = jax.random.PRNGKey(seed)
@@ -164,6 +181,8 @@ class Trainer:
     # ---- compiled step ----------------------------------------------
     def make_train_step(self, class_weights, example_batch, use_explicit_negs: bool):
         cfg = self.config
+        self._check_cache_config(
+            int(np.asarray(example_batch["user_id"]).shape[0]))
         shape = jax.eval_shape(lambda s: s, self._state_for_shape)
         state_sh = self.state_shardings(shape)
         batch_sh = self.batch_sharding_tree(example_batch)
@@ -214,20 +233,25 @@ class Trainer:
         # sparse updates: adagrad is bit-exact to the dense step; adam
         # runs with LAZY moment semantics (sparse_lazy_adam_combined)
         sparse_capable = cfg.train.optimizer in ("adagrad", "adam")
-        if self._use_spmd_step():
-            sparse = (
-                self._resolve_sparse_updates()
-                and sparse_capable
-                and not use_explicit_negs
-            )
-            return self._step_core_spmd(
-                class_weights, use_explicit_negs, sparse=sparse
-            )
-        if (
+        sparse = (
             self._resolve_sparse_updates()
             and sparse_capable
             and not use_explicit_negs
-        ):
+        )
+        if sparse and cfg.train.optimizer == "adam":
+            # semantics change, not just mechanics — say so, especially
+            # when "auto" picked sparse because the tables grew
+            logger.info(
+                "sparse_table_updates with optimizer=adam uses LAZY-Adam "
+                "semantics (untouched rows keep un-decayed moments; "
+                "TF-LazyAdam parity) — a deliberate divergence from "
+                "dense Adam; set sparse_table_updates=False for exact "
+                "dense-Adam math at full-table update cost.")
+        if self._use_spmd_step():
+            return self._step_core_spmd(
+                class_weights, use_explicit_negs, sparse=sparse
+            )
+        if sparse:
             return self._step_core_sparse(class_weights)
 
         def step_fn(state: TrainState, batch) -> tuple[TrainState, Dict]:
@@ -245,13 +269,69 @@ class Trainer:
                 train=True,
                 class_weights=class_weights,
                 neg_item_ids=neg_ids,
+                extra_candidates=self._cache_tuple(state),
             )
+            new_cache = self._cache_update(state, state.params, batch)
             new_params, new_opt = opt.update(
                 grads, state.opt_state, state.params, state.step
             )
-            return TrainState(new_params, new_opt, state.step + 1, state.rng), metrics
+            return TrainState(new_params, new_opt, state.step + 1,
+                              state.rng, new_cache), metrics
 
         return step_fn
+
+    # ---- CBNS cross-batch negative cache (TrainConfig.negative_cache)
+    @staticmethod
+    def _cache_tuple(state: TrainState):
+        """extras -> the (emb, ids, corr) triple the loss consumes."""
+        if state.extras is None:
+            return None
+        c = state.extras
+        return (c["emb"], c["ids"], c["corr"])
+
+    def _cache_update(self, state: TrainState, params, batch):
+        """FIFO-append this batch's item embeddings (+ their bias-logq
+        correction) to the cache — computed from the PRE-update params,
+        i.e. the embeddings this step actually scored (CBNS caches
+        current-step encodings and lets them go slightly stale)."""
+        if state.extras is None:
+            return None
+        from recsys_tpu.models.towers import TwoTower
+
+        cfg = self.config
+        tw = params["towers"]
+        ids = batch["movie_id"]
+        emb = TwoTower.item_embed(tw, ids, cfg.model, train=False)
+        corr = jnp.zeros((ids.shape[0],), jnp.float32)
+        if cfg.model.use_item_bias:
+            n_bias = tw["item_bias"].shape[0] - 1
+            corr = corr + jnp.take(tw["item_bias"],
+                                   jnp.clip(ids, 0, n_bias))
+        if "log_q" in batch:
+            corr = corr - batch["log_q"]
+        b = ids.shape[0]
+        c = state.extras
+        return {
+            "emb": jnp.concatenate([c["emb"][b:], emb]),
+            "ids": jnp.concatenate([c["ids"][b:], ids]),
+            "corr": jnp.concatenate([c["corr"][b:], corr]),
+        }
+
+    def _check_cache_config(self, batch_rows: int) -> None:
+        n = self.config.train.negative_cache
+        if n <= 0:
+            return
+        if self._use_spmd_step():
+            raise ValueError(
+                "negative_cache requires the GSPMD step — it does not "
+                "compose with lookup_strategy psum/a2a or per-replica "
+                "negatives (use lookup_strategy='xla' + "
+                "global_negatives=True)")
+        if n % batch_rows != 0:
+            raise ValueError(
+                f"negative_cache ({n}) must be a multiple of the global "
+                f"batch size ({batch_rows}) — the FIFO advances one "
+                "batch per step")
 
     _TABLE_KEYS = ("user_table", "item_table", "item_bias")
 
@@ -410,12 +490,15 @@ class Trainer:
                 key=rng,
                 train=True,
                 class_weights=class_weights,
+                extra_candidates=self._cache_tuple(state),
             )
+            new_cache = self._cache_update(state, params, batch)
             new_params, new_opt = self._sparse_apply(
                 state, grads, uid, mid, bid
             )
             return (
-                TrainState(new_params, new_opt, state.step + 1, state.rng),
+                TrainState(new_params, new_opt, state.step + 1,
+                           state.rng, new_cache),
                 metrics,
             )
 
@@ -698,6 +781,7 @@ class Trainer:
         per step (the TPU-native answer to tf.data, SURVEY §7.1.5)."""
         cfg = self.config
         b = cfg.train.batch_size
+        self._check_cache_config(b)
         ctx = self.ctx
         step_fn = self._step_core(class_weights, use_explicit_negs)
         shape = jax.eval_shape(lambda s: s, self._state_for_shape)
