@@ -229,3 +229,29 @@ def test_cache_requires_gspmd_step_and_batch_multiple():
         tr2.make_train_step(class_weights=(1.0, 1.0),
                             example_batch=_batch(64, 40, 30, 0),
                             use_explicit_negs=False)
+
+
+def test_cache_survives_checkpoint_resume(tiny_bundle, tmp_path):
+    """The cache (TrainState.extras) rides the Orbax checkpoint: a
+    resumed run restores a WARM cache, not a cold one."""
+    out = str(tmp_path / "resume_cache")
+    cfg1 = RecsysConfig(
+        model=_TINY,
+        train=TrainConfig(batch_size=256, epochs=1, optimizer="adam",
+                          learning_rate=5e-3, negative_cache=512,
+                          log_every_steps=1),
+        eval=EvalConfig(topk=(5,), eval_batch_size=256),
+    )
+    tr1 = Trainer(cfg1, output_dir=out)
+    tr1.train(tiny_bundle)
+    ids1 = np.asarray(tr1.final_state.extras["ids"])
+    assert (ids1 >= 0).any()  # the cache warmed up during epoch 1
+
+    cfg2 = dataclasses.replace(
+        cfg1, train=dataclasses.replace(cfg1.train, epochs=2, resume=True))
+    tr2 = Trainer(cfg2, output_dir=out)
+    tr2.train(tiny_bundle)
+    assert int(np.asarray(tr2.final_state.step)) > int(
+        np.asarray(tr1.final_state.step))
+    ids2 = np.asarray(tr2.final_state.extras["ids"])
+    assert (ids2 >= 0).all()  # fully warm after the resumed epoch
