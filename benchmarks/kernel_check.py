@@ -167,7 +167,7 @@ def time_kernels(out_path: str = None) -> int:
         return (time.perf_counter() - t0) / iters * 1e3  # ms
 
     dim = 128
-    for bsz in (8192, 16384, 32768, 65536):
+    for bsz in (8192, 16384, 32768, 65536, 131072):
         u = jnp.asarray(rng.normal(size=(bsz, dim)).astype(np.float32) * 0.2)
         v = jnp.asarray(rng.normal(size=(bsz, dim)).astype(np.float32) * 0.2)
         ids = jnp.asarray(rng.integers(0, bsz, bsz).astype(np.int32))
@@ -188,6 +188,11 @@ def time_kernels(out_path: str = None) -> int:
             "flash_pallas": make(lambda a, b: in_batch_softmax_flash(
                 a, b, item_ids=ids)),
         }
+        if bsz >= 131072:
+            # the regime no [B, B] logits matrix fits HBM at any dtype:
+            # the chunked lax.scan is the only XLA contender left
+            variants["xla_chunked"] = make(
+                lambda a, b: L.in_batch_softmax_chunked(a, b, item_ids=ids))
         for name, f in variants.items():
             try:
                 row[f"{name}_ms"] = round(bench(f, u, v), 3)

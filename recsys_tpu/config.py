@@ -80,15 +80,16 @@ class ModelConfig:
     # "chunked"; losses.resolve_retrieval_loss). The measured regime
     # map (v5e, dim 128 — kernels_tpu.json "train_step_flash", FULL
     # fwd+bwd+adagrad step, round 4 with the fused flash backward):
-    # XLA wins at B=4k square (4.00 vs 4.64 ms); flash wins from 8k
-    # candidates up (6.33 vs 6.70 at 8k, 22.3 vs 27.9 at 32k, 64.2 vs
-    # 88.4 at 64k) and at B>=128k NO logits matrix fits 16 GB HBM at
-    # any dtype — only flash runs (243.6 ms, 539k examples/s; 1.49x
-    # over the chunked-scan XLA equivalent). The round-4 clean
-    # re-measurement of the kernel microbench agrees ("flash_ce" rows:
-    # flash 2.16-44.6 ms vs bf16-XLA 2.45-64.8 across 8k-64k — the
-    # old pre-fused-backward rows that ranked XLA ahead are
-    # superseded). "auto" (default): on TPU,
+    # XLA wins at B=4k square (3.9 vs 4.2 ms); flash wins from 8k
+    # candidates up (6.2 vs 6.6 at 8k, 22.1 vs 27.9 at 32k, 64.2 vs
+    # 88.3 at 64k) and at B>=128k NO logits matrix fits 16 GB HBM at
+    # any dtype — only flash runs (217.0 ms full step, 604k
+    # examples/s with the fused backward admitted at 128k square;
+    # kernel-level 3.33x over the chunked-scan XLA equivalent). The
+    # round-4 kernel microbench agrees ("flash_ce" rows: flash
+    # 1.9-44.7 ms vs bf16-XLA 2.2-64.8 across 8k-64k — the old
+    # pre-fused-backward rows that ranked XLA ahead are superseded).
+    # "auto" (default): on TPU,
     # flash from 8192 candidates; below, dense XLA. Off-TPU: dense XLA
     # while the bf16 logits fit retrieval_logits_cap_gb, chunked
     # lax.scan (losses.in_batch_softmax_chunked) above. The flash

@@ -299,13 +299,16 @@ def _bwd_fused_kernel(u_ref, v_ref, corr_ref, ids_q_ref, ids_k_ref,
 
 
 # above this many bytes of dU partials, fall back to the two-kernel
-# backward (partials scale as Bq * D * (Bk / tk)). Capped at 2 GiB:
-# at the flagship B=128k square regime the 6 GiB cap admitted a
-# ~4.3 GiB fp32 partials tensor on top of params/optimizer/activations
-# on a 16 GiB v5e — an OOM hazard in exactly the regime flash is for
-# (ADVICE r3). 128k square now takes the proven two-kernel backward;
-# fused still covers B<=64k square (<=1.1 GiB partials).
-_FUSED_BWD_PARTIALS_CAP = 2 * 1024**3
+# backward (partials scale as Bq * D * (Bk / tk)). ADVICE r3 flagged
+# the untested 6 GiB cap as an OOM hazard at the flagship B=128k
+# square regime (~4.3 GiB of partials); round 4 MEASURED that regime
+# on the 16 GiB v5e: the fused path runs the FULL train step at
+# B=128k square without OOM and 1.12x faster than two-kernel (217.0
+# vs 243.6 ms, 604k ex/s — kernels_tpu.json train_step_flash), and
+# the backward alone is 1.25x (116.2 vs 145.8 ms). Cap set to 4.5 GiB:
+# admits 128k square with measured headroom, still refuses layouts
+# whose partials alone would crowd a 16 GiB part.
+_FUSED_BWD_PARTIALS_CAP = int(4.5 * 1024**3)
 
 
 def _flash_bwd_fused_raw(u, v, colcorr, ids_q, ids_k, pos_idx, lse, g,
