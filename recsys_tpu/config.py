@@ -70,11 +70,12 @@ class ModelConfig:
     # speeds up factorization learning under in-batch softmax.
     tower_residual: bool = True
     # run the DCN cross stack through the fused Pallas kernel
-    # (ops/pallas/dcn_cross.py). A REFERENCE kernel: XLA's own fusion of
-    # the rank-1 recurrence is faster at every measured shape (v5e,
-    # benchmarks/results/kernels_tpu.json: 1.26 vs 1.32 ms at 4k x 256
-    # up to 3.56 vs 3.94 ms at 64k x 512) — keep False except to study
-    # the kernel. Equivalence-tested vs the XLA path; interpret on CPU.
+    # (ops/pallas/dcn_cross.py). A REFERENCE kernel: across several
+    # clean v5e reruns the fused kernel and XLA's own fusion of the
+    # rank-1 recurrence are within run-to-run noise of each other
+    # (winners flip at the ~0.1-0.3 ms level on ~1.4 ms shapes;
+    # kernels_tpu.json "dcn" rows) — with no measured win, False keeps
+    # the simpler path. Equivalence-tested vs XLA; interpret on CPU.
     use_pallas_dcn: bool = False
     # Retrieval-loss implementation policy ("auto" | True | False |
     # "chunked"; losses.resolve_retrieval_loss). The measured regime
