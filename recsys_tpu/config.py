@@ -271,9 +271,9 @@ class TrainConfig:
     # arXiv:2110.15154 — retrieved-paper technique): a FIFO of the last
     # N item embeddings (+ their ids and bias-logq corrections) from
     # previous steps is appended to the in-batch softmax candidate axis
-    # as extra negatives — N more negatives at ZERO extra tower cost
-    # (the cached embeddings are reused, stop-gradient'd, slightly
-    # stale). 0 = off (reference parity AND the measured right default
+    # as extra negatives — the N cached columns cost no tower compute
+    # (reused, stop-gradient'd, slightly stale; the per-step FIFO
+    # refresh pays one extra item-tower forward of the batch). 0 = off (reference parity AND the measured right default
     # at MovieLens scale: with B=4096 in-batch negatives over a
     # 3,883-item catalog every item is already a near-every-step
     # negative, and the stale extra copies measurably HURT — recall@10

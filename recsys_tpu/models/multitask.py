@@ -110,9 +110,12 @@ class MultiTaskModel:
         which is B_local * axis_size under global negatives.
         ``extra_candidates`` ``(emb [N, D], ids [N], corr [N])``
         appends the CBNS cross-batch negative cache to the retrieval
-        candidate axis (``TrainConfig.negative_cache``); when set, the
-        metric dict gains ``item_embedding`` (this step's item block,
-        for the trainer's FIFO cache update).
+        candidate axis (``TrainConfig.negative_cache``). The trainer's
+        FIFO update recomputes this step's item embeddings separately
+        (``Trainer._cache_update`` — one extra item-tower forward per
+        step; the CACHED entries cost nothing, the refresh is not
+        free), because returning them through the metrics dict would
+        be stacked per-step by the device-resident epoch scan.
         """
         k_fwd = k_neg = None
         if key is not None:

@@ -46,11 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_BIG = -1e9
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+from recsys_tpu.utils.platform import on_tpu as _on_tpu  # noqa: E402
 
 
 def _tile(b: int, pref: int = 512) -> int:
@@ -543,6 +539,12 @@ def in_batch_softmax_flash(
     n_cand = user_emb.shape[0] * (
         1 if axis_name is None else jax.lax.psum(1, axis_name)
     )
+    if extra_candidates is not None:
+        # the cache extends the candidate axis — count it, so shapes
+        # the 'auto' path policy routed here BECAUSE of the cache also
+        # cross the bf16 threshold (the kernel is matmul-bound on the
+        # full candidate axis)
+        n_cand = n_cand + extra_candidates[0].shape[0]
     if bf16 is True or (bf16 == "auto" and n_cand >= 8192):
         user_emb = user_emb.astype(jnp.bfloat16)
         item_emb = item_emb.astype(jnp.bfloat16)

@@ -72,11 +72,7 @@ NEG_INF = -1e30
 KBUF = 128  # candidate slots per query (lane width); implies k <= 128
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+from recsys_tpu.utils.platform import on_tpu as _on_tpu  # noqa: E402
 
 
 def _round_up(x: int, m: int) -> int:

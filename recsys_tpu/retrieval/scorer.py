@@ -87,11 +87,7 @@ def topk_scores(
 _DENSE_SCORES_CAP = 1 << 30
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+from recsys_tpu.utils.platform import on_tpu as _on_tpu  # noqa: E402
 
 
 def exact_topk(
@@ -102,20 +98,37 @@ def exact_topk(
     item_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Size-dispatched EXACT top-k: the dense matmul + ``lax.top_k``
-    while the [Q, N] score matrix is small, the flash running-top-k
-    kernel (:func:`recsys_tpu.ops.pallas.topk_flash.flash_topk`, f32,
-    selection identical to dense) once it would exceed
-    ``_DENSE_SCORES_CAP`` on a TPU — the production exact path for
-    multi-million-item catalogs, where dense scores can't materialize
-    and the blockwise scan pays a full sort per block."""
+    while the [Q, N] score matrix is small; past ``_DENSE_SCORES_CAP``
+    the NON-materializing exact paths — the flash running-top-k kernel
+    (:func:`recsys_tpu.ops.pallas.topk_flash.flash_topk`, f32,
+    selection identical to dense) on TPU for k <= 128, else the
+    blockwise exact scan (any k, any platform; this covers the
+    evaluator's over-retrieve branch where k = topk + max_seen can
+    reach thousands). Dense scores are never materialized above the
+    cap on any branch."""
     q_n = int(user_emb.shape[0])
     n = int(item_emb.shape[0])
-    if (_on_tpu() and k <= 128
-            and q_n * n * 4 > _DENSE_SCORES_CAP):
-        from recsys_tpu.ops.pallas.topk_flash import flash_topk
+    if q_n * n * 4 > _DENSE_SCORES_CAP:
+        if _on_tpu() and k <= 128:
+            from recsys_tpu.ops.pallas.topk_flash import flash_topk
 
-        return flash_topk(user_emb, item_emb, k, normalize=normalize,
-                          bf16=False, item_bias=item_bias)
+            return flash_topk(user_emb, item_emb, k, normalize=normalize,
+                              bf16=False, item_bias=item_bias)
+        from recsys_tpu.ops.topk import blockwise_topk
+
+        if item_bias is not None:
+            # fold the bias into the dot via the [u|1].[v|b]
+            # augmentation (raw-dot mode only — same trick as
+            # flash_topk's item_bias support)
+            if normalize:
+                raise ValueError("item_bias requires normalize=False")
+            user_emb = jnp.concatenate(
+                [user_emb, jnp.ones((q_n, 1), user_emb.dtype)], axis=1)
+            item_emb = jnp.concatenate(
+                [item_emb, item_bias.astype(item_emb.dtype)[:, None]],
+                axis=1)
+        return blockwise_topk(user_emb, item_emb, k=k, block_size=262144,
+                              normalize=normalize)
     return topk_scores(user_emb, item_emb, k, normalize, item_bias)
 
 

@@ -141,6 +141,8 @@ class AioHttpServer:
         self.host = host
         self.port = port
         self.reuse_port = reuse_port
+        self._max_batch = max_batch
+        self._max_wait_ms = max_wait_ms
         self.coalescer = (
             LoopCoalescer(service, max_batch=max_batch,
                           max_wait_ms=max_wait_ms)
@@ -193,6 +195,8 @@ class AioHttpServer:
                             length = 0
                     elif ln == "connection" and val.strip().lower() == "close":
                         keep = False
+                if length < 0:  # malformed; don't readexactly(-1)
+                    break
                 if length > _MAX_BODY_BYTES:
                     await self._respond(
                         writer, 413,
@@ -227,7 +231,11 @@ class AioHttpServer:
                 if not keep:
                     break
         except (asyncio.IncompleteReadError, ConnectionResetError,
-                BrokenPipeError, asyncio.TimeoutError):
+                BrokenPipeError, asyncio.TimeoutError,
+                asyncio.LimitOverrunError, ValueError):
+            # LimitOverrunError/ValueError: request or header line over
+            # the 64 KB stream limit — drop the connection quietly, do
+            # not let a hostile probe leave unretrieved task exceptions
             pass
         finally:
             try:
@@ -261,9 +269,16 @@ class AioHttpServer:
                 "model_version": api.service.model_version,
             }
         code, payload = api.dispatch(method, path, body)
-        if path == "/admin/reload" and code == 200 and self.coalescer:
-            # the reload swapped api.service; retarget the coalescer
-            self.coalescer.service = api.service
+        if path == "/admin/reload" and code == 200:
+            # the reload swapped api.service; retarget the coalescer —
+            # or CREATE it if the server started degraded (service was
+            # None at __init__ and the fast path was dormant)
+            if self.coalescer is None:
+                self.coalescer = LoopCoalescer(
+                    api.service, max_batch=self._max_batch,
+                    max_wait_ms=self._max_wait_ms)
+            else:
+                self.coalescer.service = api.service
         return code, payload
 
     # ---- lifecycle ---------------------------------------------------

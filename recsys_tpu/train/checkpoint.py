@@ -49,6 +49,12 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
+    elif tree is None:
+        # empty pytree leaves (e.g. TrainState.extras when the negative
+        # cache is off): np.asarray(None) is a dtype=object array that
+        # np.load refuses to read back (allow_pickle=False) — skip;
+        # restore reconstructs the field from the NamedTuple default
+        pass
     else:
         out[prefix.rstrip("/")] = np.asarray(tree)
     return out

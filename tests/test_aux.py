@@ -221,3 +221,26 @@ def test_readme_numbers_match_committed_results():
 
     failures = cd.check_readme()
     assert not failures, "\n".join(failures)
+
+
+def test_npz_checkpoint_roundtrips_none_extras(tmp_path):
+    """TrainState.extras=None (negative cache off) must survive the
+    npz fallback checkpoint path: np.asarray(None) is an object array
+    np.load refuses (allow_pickle=False) — the flattener skips None
+    leaves and restore rebuilds the field from the NamedTuple default."""
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.train.checkpoint import CheckpointManager
+    from recsys_tpu.train.trainer import TrainState
+
+    st = TrainState({"w": jnp.ones((2, 2))},
+                    {"accum": {"w": jnp.zeros((2, 2))}},
+                    jnp.zeros((), jnp.int32), jax.random.PRNGKey(0), None)
+    cm = CheckpointManager(str(tmp_path / "ck"), keep=1, use_orbax=False)
+    cm.save(3, st._asdict())
+    s, tree = cm.restore_latest()
+    st2 = TrainState(**tree)
+    assert s == 3 and st2.extras is None
+    np.testing.assert_array_equal(np.asarray(st2.params["w"]),
+                                  np.ones((2, 2)))

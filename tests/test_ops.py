@@ -355,8 +355,17 @@ def test_exact_topk_dispatches_to_flash_past_cap(monkeypatch):
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s), rtol=1e-5)
     assert np.array_equal(np.asarray(i2), np.asarray(i))
 
-    # k > 128 cannot flash: falls back to dense even past the cap
+    # k > 128 cannot flash: past the cap it takes the blockwise exact
+    # scan (NOT the dense materializing path — the evaluator's
+    # over-retrieve branch reaches here with k in the thousands)
     called.clear()
-    s3, _ = scorer.exact_topk(u, v, 130)
+
+    def boom_dense(*a, **k):
+        raise AssertionError("dense topk_scores called past the cap")
+
+    monkeypatch.setattr(scorer, "topk_scores", boom_dense)
+    s3, i3 = scorer.exact_topk(u, v, 130)
     assert not called.get("flash")
     assert s3.shape == (8, 130)
+    # blockwise result matches dense ordering on the overlap
+    assert np.array_equal(np.asarray(i3)[:, :5], np.asarray(dense_i))

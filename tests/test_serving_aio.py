@@ -163,3 +163,38 @@ def test_aio_degraded_mode_503():
     assert code == 503 and body["detail"] == "Model not loaded"
     code, body = _req(srv.bound_port, "GET", "/health")
     assert code == 200 and body["status"] == "degraded"
+
+
+def test_aio_degraded_start_gains_coalescer_on_reload(trained_service):  # noqa: F811
+    """A server that starts degraded (model load failed) must CREATE
+    its loop coalescer when /admin/reload brings a service up — the
+    fast path must not stay dormant for the process lifetime."""
+    svc, bundle = trained_service
+    srv = _start_aio(None, service_factory=lambda: svc)
+    assert srv.coalescer is None
+    code, body = _req(srv.bound_port, "POST", "/recommend",
+                      {"user_id": 1, "k": 3})
+    assert code == 503
+    code, body = _req(srv.bound_port, "POST", "/admin/reload")
+    assert code == 200 and body["reloaded"]
+    assert srv.coalescer is not None
+    uid = int(bundle["meta/user_raw_ids"][0])
+    before = srv.coalescer.stats()["n_requests"]
+    code, body = _req(srv.bound_port, "POST", "/recommend",
+                      {"user_id": uid, "k": 3})
+    assert code == 200 and len(body["recommendations"]) == 3
+    assert srv.coalescer.stats()["n_requests"] == before + 1
+
+
+def test_aio_negative_content_length_closes_cleanly(aio_server):
+    srv, bundle = aio_server
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", srv.bound_port), timeout=10)
+    s.sendall(b"POST /recommend HTTP/1.1\r\nContent-Length: -1\r\n\r\n")
+    s.close()
+    # server stays healthy afterwards
+    uid = int(bundle["meta/user_raw_ids"][0])
+    code, body = _req(srv.bound_port, "POST", "/recommend",
+                      {"user_id": uid, "k": 2})
+    assert code == 200
