@@ -53,6 +53,22 @@ def main() -> int:
         k: round(out[k]["recall@10"] / r0, 4)
         for k in ("cache_0x", "cache_4x", "cache_16x")
     }
+
+    # the technique's INTENDED regime: B << catalog, where the in-batch
+    # negative pool is scarce (B=256 vs 3,883 items — each step sees
+    # <7% of the catalog as negatives; the cache multiplies the pool)
+    small = {**base, "batch_size": 256, "epochs": 12}
+    out["small_batch"] = {"batch": 256}
+    for cache_mult in (0, 16):
+        spec = {**small, "negative_cache": cache_mult * 256}
+        rep = run_one(f"c1_smallB_cache{cache_mult}x", spec, bundle)
+        out["small_batch"][f"cache_{cache_mult}x_recall@10"] = round(
+            float(rep["recall@10"]), 6)
+        print(json.dumps({f"smallB_cache_{cache_mult}x":
+                          out["small_batch"][f"cache_{cache_mult}x_recall@10"]}))
+    out["small_batch"]["relative"] = round(
+        out["small_batch"]["cache_16x_recall@10"]
+        / max(out["small_batch"]["cache_0x_recall@10"], 1e-9), 4)
     path = "benchmarks/results/negatives_cache.json"
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:

@@ -273,13 +273,16 @@ class TrainConfig:
     # previous steps is appended to the in-batch softmax candidate axis
     # as extra negatives — the N cached columns cost no tower compute
     # (reused, stop-gradient'd, slightly stale; the per-step FIFO
-    # refresh pays one extra item-tower forward of the batch). 0 = off (reference parity AND the measured right default
-    # at MovieLens scale: with B=4096 in-batch negatives over a
-    # 3,883-item catalog every item is already a near-every-step
-    # negative, and the stale extra copies measurably HURT — recall@10
-    # ratio 0.946 at 4B / 0.921 at 16B vs cache-off,
-    # benchmarks/results/negatives_cache.json. The technique targets
-    # B << catalog regimes, where in-batch negatives are scarce.)
+    # refresh pays one extra item-tower forward of the batch).
+    # 0 = off (reference parity and the right default at the flagship
+    # batch size). MEASURED, both regimes on this catalog
+    # (benchmarks/results/negatives_cache.json): at B=4096 over 3,883
+    # items every item is already a near-every-step in-batch negative
+    # and the stale copies HURT (recall@10 ratio 0.946 at 4B cache /
+    # 0.921 at 16B); at B=256 — the B << catalog regime CBNS targets,
+    # where a step sees <7% of the catalog — a 16B cache HELPS +9.2%
+    # (0.01251 -> 0.01366). Enable when your batch covers little of
+    # your catalog.)
     # Must be a multiple of the global batch size; rides the GSPMD
     # step (with the a2a/psum explicit-SPMD step it raises — compose
     # it with lookup_strategy "xla").
