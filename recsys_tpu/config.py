@@ -254,7 +254,7 @@ class TrainConfig:
     # materializing a dense [V, D] gradient + updating all V rows.
     # O(B·D) instead of O(V·D) per step — required at configs[4]-scale
     # tables (a dense step on a 16M x 128 table moves ~24 GB of HBM
-    # traffic in the optimizer alone; measured 12.6x on a 6M-row-table
+    # traffic in the optimizer alone; measured 13.1x on a 6M-row-table
     # model). On tiny tables the sort/segment/scatter overhead loses
     # (~0.46 ms at B=4096), so "auto" (default) picks sparse only when
     # the tables exceed ~32M elements (the measured crossover on v5e).
