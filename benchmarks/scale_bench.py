@@ -409,6 +409,216 @@ def bench_train(n_users: int, n_items: int, dim: int, batch: int,
     return out
 
 
+def bench_train_streaming(dim: int, batch: int, reps: int) -> dict:
+    """Streaming input path on the chip (VERDICT r4 item 1). The
+    streaming path is the ONLY input path multi-host training can take
+    (``trainer.py``: the device-resident path builds process-local
+    arrays and is gated to ``process_count() == 1``), and before round
+    5 its throughput had never been committed. Measures, at the
+    flagship config (B=4096, dim 128, MovieLens-1M-scale bundle):
+
+    * the cost split — host gather (Batcher + C++ ``gather_batch``),
+      host->device transfer (device_put + readback barrier), and the
+      compiled step alone (scan-timed, the headline basis);
+    * end-to-end streaming examples/s at chunk K=1 (per-step, the old
+      behavior) and the ``stream_chunk_steps`` coalescing ladder —
+      the production loop's own ``_prefetch`` + prepare + dispatch.
+
+    The reference's analogue is its tf.data feed
+    (``src/trainer.py:113-117``); its measured CPU training throughput
+    is 49,447 ex/s (``tf_reference_cpu.json``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import get_bundle
+    from recsys_tpu.config import (
+        EvalConfig, ModelConfig, RecsysConfig, TrainConfig,
+    )
+    from recsys_tpu.data.pipeline import Batcher
+    from recsys_tpu.models import losses
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.parallel.sharding import shard_batch, shard_batch_chunk
+    from recsys_tpu.train.trainer import Trainer, _prefetch
+
+    _phase("loading flagship bundle")
+    bundle = get_bundle(1_000_209)
+    n_users = int(bundle["meta/n_users"])
+    n_items = int(bundle["meta/n_movies"])
+    pop = np.bincount(bundle["train/movie_id"], minlength=n_items).astype(np.float32)
+    log_q = np.log(np.maximum(pop, 0.5) / len(bundle["train/movie_id"])).astype(np.float32)
+
+    cfg = RecsysConfig(
+        model=ModelConfig(embedding_dim=dim, mixed_precision=True),
+        train=TrainConfig(batch_size=batch, epochs=1),
+        eval=EvalConfig(topk=(10,)),
+    )
+    ctx = make_mesh(model_parallel=1)
+    tr = Trainer(cfg, output_dir="/tmp/stream_bench", mesh_ctx=ctx)
+    state = tr.init_state(n_users, n_items, seed=0)
+    tr._state_for_shape = state
+    class_weights = losses.balanced_class_weights(bundle["train/y_implicit"])
+
+    batcher = Batcher(bundle, "train", batch, seed=0)
+
+    def prepare(b):
+        return {**b, "log_q": log_q[b["movie_id"]]}
+
+    out = {}
+
+    # ---- split leg 1: host gather only ------------------------------
+    _phase("host gather")
+    it = batcher.epoch(0)
+    for _ in range(3):  # warm the page cache / native lib
+        prepare(next(it))
+    t0 = time.perf_counter()
+    n_g = min(reps * 4, batcher.steps_per_epoch - 3)
+    for _ in range(n_g):
+        prepare(next(it))
+    out["host_gather_ms_per_batch"] = round(
+        (time.perf_counter() - t0) / n_g * 1e3, 3)
+
+    # ---- split leg 2: host->device transfer (incl. dispatch +
+    # readback barrier — over a remote-tunneled TPU the RPC round trip
+    # IS the cost being measured) --------------------------------------
+    _phase("transfer")
+    bat = prepare(next(batcher.epoch(1)))
+    placed = shard_batch(ctx, bat)
+    _ = np.asarray(placed["user_id"][:1])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        placed = shard_batch(ctx, bat)
+        _ = np.asarray(placed["user_id"][:1])  # force the round trip
+    out["transfer_ms_per_batch"] = round(
+        (time.perf_counter() - t0) / reps * 1e3, 3)
+    out["batch_bytes"] = int(sum(np.asarray(v).nbytes for v in bat.values()))
+
+    # ---- split leg 3: compiled step alone (scan-timed on staged
+    # data — the device-resident headline's basis) --------------------
+    _phase("step only")
+    step_core = tr._step_core(class_weights, False)
+    n_step_reps = max(reps * 4, 50)
+
+    def body(s, i, b):
+        s2, m = step_core(s, {k: v for k, v in b.items()})
+        return s2, None
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_steps(st, b):
+        def sbody(s, i):
+            s2, m = step_core(s, b)
+            return s2, m["loss"]
+        s, ls = jax.lax.scan(sbody, st, jnp.arange(n_step_reps))
+        return s, ls[-1]
+
+    st2, last = run_steps(state, placed)
+    _ = float(last)
+    t0 = time.perf_counter()
+    st2, last = run_steps(st2, placed)
+    _ = float(last)
+    out["step_only_ms"] = round(
+        (time.perf_counter() - t0) / n_step_reps * 1e3, 3)
+    del st2
+
+    # ---- end-to-end streaming ladder --------------------------------
+    state = tr.init_state(n_users, n_items, seed=0)
+    tr._state_for_shape = state
+    train_step = tr.make_train_step(class_weights, prepare(next(batcher.epoch(0))), False)
+
+    import itertools
+
+    def _epochs(start):
+        return itertools.chain.from_iterable(
+            batcher.epoch(e) for e in itertools.count(start))
+
+    def run_stream_k1(st, n_batches, epoch0):
+        def _prep(b):
+            return shard_batch(ctx, prepare(b))
+        n = 0
+        metrics = None
+        for pb in _prefetch(_epochs(epoch0), _prep):
+            st, metrics = train_step(st, pb)
+            n += 1
+            if n >= n_batches:
+                break
+        _ = jax.device_get(metrics)  # completion barrier
+        return st, n
+
+    _phase("stream K=1 warm")
+    state, _ = run_stream_k1(state, 3, 2)
+    n_b = max(reps, 100)
+    _phase(f"stream K=1 x{n_b}")
+    t0 = time.perf_counter()
+    state, n_done = run_stream_k1(state, n_b, 3)
+    dt = time.perf_counter() - t0
+    out["stream_k1_ms_per_step"] = round(dt / n_done * 1e3, 3)
+    out["stream_k1_examples_per_s"] = round(n_done * batch / dt, 1)
+
+    for K in (8, 32, 64, 128):
+        train_chunk = tr.make_train_chunk(class_weights, prepare(next(batcher.epoch(0))), False, K)
+
+        def _grouped(it):
+            buf = []
+            for b in it:
+                buf.append(prepare(b))
+                if len(buf) == K:
+                    yield buf
+                    buf = []
+
+        def _prep_chunk(group):
+            stacked = {k: np.stack([b[k] for b in group])
+                       for k in group[0]}
+            return shard_batch_chunk(ctx, stacked)
+
+        def run_stream_chunk(st, n_chunks, epoch0):
+            n = 0
+            metrics = None
+            for pc in _prefetch(_grouped(_epochs(epoch0)), _prep_chunk):
+                st, metrics = train_chunk(st, pc)
+                n += 1
+                if n >= n_chunks:
+                    break
+            _ = jax.device_get(metrics)
+            return st, n
+
+        # split leg: stack + transfer + readback of one [K, B] chunk
+        group = list(itertools.islice(_grouped(batcher.epoch(1)), 1))[0]
+        pc = _prep_chunk(group)
+        _ = np.asarray(pc["user_id"][0, :1])
+        t0 = time.perf_counter()
+        for _i in range(10):
+            pc = _prep_chunk(group)
+            _ = np.asarray(pc["user_id"][0, :1])
+        out[f"chunk_k{K}_transfer_ms"] = round(
+            (time.perf_counter() - t0) / 10 * 1e3, 3)
+
+        _phase(f"stream K={K} warm")
+        state, _ = run_stream_chunk(state, 2, 3)
+        n_c = max(n_b // K, 8)
+        _phase(f"stream K={K} x{n_c} chunks")
+        t0 = time.perf_counter()
+        state, n_done = run_stream_chunk(state, n_c, 5)
+        dt = time.perf_counter() - t0
+        out[f"stream_k{K}_ms_per_step"] = round(dt / (n_done * K) * 1e3, 3)
+        out[f"stream_k{K}_examples_per_s"] = round(n_done * K * batch / dt, 1)
+
+    out.update({
+        "mode": "train_streaming",
+        "platform": jax.devices()[0].platform,
+        "n_users": n_users,
+        "n_items": n_items,
+        "dim": dim,
+        "batch": batch,
+        "steps_per_epoch": batcher.steps_per_epoch,
+        "note": (
+            "end-to-end streaming loop (production _prefetch + prepare "
+            "+ dispatch); device-resident headline basis is step_only_ms"
+        ),
+    })
+    return out
+
+
 def bench_mesh_train(n_users: int, n_items: int, dim: int, batch: int,
                      reps: int, strategies=None, mode: str = "mesh_train",
                      assert_clean: bool = False) -> dict:
@@ -527,7 +737,8 @@ def bench_mesh_train(n_users: int, n_items: int, dim: int, batch: int,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["chip", "mesh", "train", "mesh_train",
-                                       "mesh_train_100m"],
+                                       "mesh_train_100m", "train_streaming",
+                                       "efficiency"],
                     required=True)
     ap.add_argument("--rows", type=int, default=0, help="table rows (0 = mode default)")
     ap.add_argument("--dim", type=int, default=0)
@@ -550,6 +761,9 @@ def main() -> int:
         dim = args.dim or 64
         res = bench_train(rows, rows // 2, dim, min(args.batch, 4096),
                           max(args.reps, 100))
+    elif args.mode == "train_streaming":
+        res = bench_train_streaming(args.dim or 128, min(args.batch, 4096),
+                                    max(args.reps, 20))
     elif args.mode == "mesh_train":
         rows = args.rows or 4_000_000
         dim = args.dim or 32

@@ -248,6 +248,19 @@ class TrainConfig:
     device_resident_data: bool = True
     device_data_limit_mb: int = 2048
     profile: bool = False  # jax.profiler trace capture around a training window
+    # Streaming-path transfer coalescing: stack K consecutive batches
+    # into ONE [K, B, ...] host->device transfer and run the K train
+    # steps in one compiled lax.scan dispatch. The streaming path is
+    # the ONLY input path multi-host training can take
+    # (device-resident is single-controller by construction), and its
+    # per-step cost is dominated by dispatch+transfer latency, not
+    # bandwidth — coalescing amortizes that latency over K steps.
+    # 1 = per-step streaming (old behavior). Math is unchanged: the
+    # scan applies the same per-step update in batch order (parity
+    # tested in test_trainer.py). Measured split and the K sweep on
+    # the v5e chip live in benchmarks/results/scale.json
+    # "train_streaming" (flagship config, B=4096, dim 128).
+    stream_chunk_steps: int = 32
     # Sparse embedding-table updates: gradients and adagrad updates
     # touch only the B rows a batch references (duplicates combined to
     # match dense scatter-add semantics exactly) instead of

@@ -47,6 +47,26 @@ def shard_batch(ctx: MeshContext, batch: Any) -> Any:
     return jax.tree.map(_place, batch)
 
 
+def shard_batch_chunk(ctx: MeshContext, chunk: Any) -> Any:
+    """Place a ``[K, B, ...]`` stack of K consecutive batches in ONE
+    transfer: axis 1 (the batch axis) split over ``data``, axis 0 (the
+    step axis) replicated. The streaming path's coalescing lever
+    (``TrainConfig.stream_chunk_steps``) — one host->device transfer
+    and one dispatch amortize over K train steps, which is the
+    difference between per-step RPC latency and link bandwidth on a
+    remote-tunneled TPU. Multi-process placement assembles the global
+    ``[K, B]`` chunk from each host's ``[K, B/process_count]`` slice."""
+
+    def _place(x):
+        x = np.asarray(x)
+        sh = ctx.sharding(None, ctx.data_axis, *([None] * (x.ndim - 2)))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(_place, chunk)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0, fill=0):
     """Pad ``x`` along ``axis`` to a multiple (static-shape friendly).
     Returns (padded, original_length)."""

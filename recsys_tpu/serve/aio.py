@@ -40,21 +40,19 @@ import logging
 import time
 from typing import Dict, List, Optional
 
-from recsys_tpu.serve.app import MAX_K, Api
+from recsys_tpu.serve.app import (
+    MAX_BODY_BYTES as _MAX_BODY_BYTES,
+    MAX_HEADER_LINES as _MAX_HEADER_LINES,
+    MAX_K,
+    READ_TIMEOUT_S as _READ_TIMEOUT_S,
+    Api,
+)
 
 logger = logging.getLogger(__name__)
 
 _REASONS = {200: "OK", 404: "Not Found", 413: "Payload Too Large",
             422: "Unprocessable Entity", 500: "Internal Server Error",
             503: "Service Unavailable"}
-
-# request hardening: a client that lies about Content-Length (or
-# trickles bytes) must not pin a connection open forever, and a huge
-# declared body must not be buffered. The JSON bodies of this API are
-# all < 100 KB (MAX_BATCH_USERS ids).
-_MAX_BODY_BYTES = 1 << 20
-_MAX_HEADER_LINES = 64
-_READ_TIMEOUT_S = 30.0
 
 
 class LoopCoalescer:

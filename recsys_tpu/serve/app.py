@@ -35,6 +35,15 @@ from recsys_tpu.serve.service import RecommendationService
 logger = logging.getLogger(__name__)
 
 MAX_K = 100
+
+# Request hardening, shared by BOTH transports (threaded here, asyncio
+# in serve/aio.py): a client that lies about Content-Length (or
+# trickles bytes) must not pin a connection open forever, and a huge
+# declared body must not be buffered. The JSON bodies of this API are
+# all < 100 KB (MAX_BATCH_USERS ids).
+MAX_BODY_BYTES = 1 << 20
+MAX_HEADER_LINES = 64
+READ_TIMEOUT_S = 30.0
 MAX_SCORE_ITEMS = 100
 MAX_BATCH_USERS = 1024
 
@@ -320,6 +329,13 @@ def make_http_server(
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # keep-alive (we always send Content-Length)
         disable_nagle_algorithm = True  # small JSON responses: latency > batching
+        # socket-level read timeout (socketserver applies it in
+        # setup()): a client that trickles bytes or never sends its
+        # declared body gets its connection dropped instead of pinning
+        # a handler thread forever — same bar as the asyncio frontend's
+        # wait_for windows (serve/aio.py). http.server itself caps
+        # header count (100) and line length (64 KiB).
+        timeout = READ_TIMEOUT_S
 
         def _respond(self, code: int, payload: Dict) -> None:
             data = json.dumps(payload).encode()
@@ -337,6 +353,7 @@ def make_http_server(
                 self.send_header("Content-Type",
                                  "text/plain; version=0.0.4")
                 self.send_header("Content-Length", str(len(data)))
+                self.send_header("Access-Control-Allow-Origin", "*")
                 self.end_headers()
                 self.wfile.write(data)
                 return
@@ -347,8 +364,30 @@ def make_http_server(
             self._respond(code, payload)
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
-            raw = self.rfile.read(length) if length else b""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                length = -1
+            if length < 0:
+                self._respond(422, {"detail": "malformed Content-Length"})
+                self.close_connection = True
+                return
+            if length > MAX_BODY_BYTES:
+                # oversized declared body: reject WITHOUT buffering it
+                # (shared cap with the asyncio frontend)
+                self._respond(413, {"detail": "body too large"})
+                self.close_connection = True
+                return
+            try:
+                raw = self.rfile.read(length) if length else b""
+            except (TimeoutError, OSError):
+                self.close_connection = True
+                return
+            if len(raw) < length:
+                # client closed mid-body (or lied about the length and
+                # the read timed out at the socket layer)
+                self.close_connection = True
+                return
             try:
                 body = json.loads(raw) if raw else None
             except json.JSONDecodeError:

@@ -14,8 +14,11 @@ and **no resume path** — training always restarts from scratch. Here:
   Both backends commit atomically (Orbax tmp-dir rename; the npz
   fallback writes ``<path>.tmp`` then ``os.replace``), so a crash
   mid-write never leaves a half checkpoint that ``restore_latest``
-  would pick up. Single-process only — multi-host saves stay
-  synchronous (the commit barrier across hosts is not audited here),
+  would pick up. Async is single-process only — multi-host saves stay
+  synchronous; the multi-host save/restore path itself (cooperative
+  Orbax save + ``--resume`` across 2 real processes, epoch-2
+  trajectory parity with an uninterrupted run) is audited by
+  ``tests/test_multihost.py::test_two_process_checkpoint_resume``,
 * a separate **inference bundle** (encoder params + vocabs + config +
   materialized item embeddings) replacing the reference's
   ``encoder.keras`` + ``vocabs.json`` + ``faiss.idx`` + ``item_map.json``

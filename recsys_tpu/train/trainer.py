@@ -40,7 +40,7 @@ from recsys_tpu.data.pipeline import Batcher
 from recsys_tpu.models import losses
 from recsys_tpu.models.multitask import MultiTaskModel
 from recsys_tpu.parallel.mesh import MeshContext, make_mesh
-from recsys_tpu.parallel.sharding import shard_batch
+from recsys_tpu.parallel.sharding import shard_batch, shard_batch_chunk
 from recsys_tpu.retrieval.evaluator import evaluate
 from recsys_tpu.retrieval.scorer import RetrievalIndex
 from recsys_tpu.train import checkpoint as ckpt_lib
@@ -193,6 +193,42 @@ class Trainer:
             step_fn,
             in_shardings=(state_sh, batch_sh),
             out_shardings=(state_sh, NamedSharding(self.ctx.mesh, P())),
+            donate_argnums=donate,
+        )
+
+    def make_train_chunk(self, class_weights, example_batch,
+                         use_explicit_negs: bool, n_steps: int):
+        """K-step streaming chunk: ``lax.scan`` the train step over a
+        ``[K, B, ...]`` stack of K staged batches in ONE dispatch
+        (``TrainConfig.stream_chunk_steps``). Same per-step math as
+        ``make_train_step`` in the same batch order — only the
+        host<->device cadence changes (one transfer + one dispatch per
+        K steps instead of per step). Returns mean metrics over the
+        chunk."""
+        cfg = self.config
+        self._check_cache_config(
+            int(np.asarray(example_batch["user_id"]).shape[0]))
+        shape = jax.eval_shape(lambda s: s, self._state_for_shape)
+        state_sh = self.state_shardings(shape)
+        ctx = self.ctx
+        chunk_sh = {
+            k: NamedSharding(
+                ctx.mesh,
+                P(None, ctx.data_axis, *([None] * (np.asarray(v).ndim - 1))),
+            )
+            for k, v in example_batch.items()
+        }
+        step_fn = self._step_core(class_weights, use_explicit_negs)
+
+        def chunk_fn(state, chunk):
+            state, ms = jax.lax.scan(step_fn, state, chunk, length=n_steps)
+            return state, jax.tree.map(jnp.mean, ms)
+
+        donate = (0,) if cfg.train.donate_state else ()
+        return jax.jit(
+            chunk_fn,
+            in_shardings=(state_sh, chunk_sh),
+            out_shardings=(state_sh, NamedSharding(ctx.mesh, P())),
             donate_argnums=donate,
         )
 
@@ -1020,6 +1056,24 @@ class Trainer:
             train_step = self.make_train_step(class_weights, example, sampler is not None)
             eval_example = _augment(next(iter(val_batcher.epoch(0))))
             eval_step = self.make_eval_step(class_weights, eval_example)
+            # transfer coalescing (stream_chunk_steps): full chunks of K
+            # batches go through one [K, B, ...] transfer + one scan
+            # dispatch; the epoch tail (< K batches) takes the per-step
+            # path above
+            chunk_k = min(
+                max(int(t_cfg.stream_chunk_steps), 1),
+                max(train_batcher.steps_per_epoch, 1),
+            )
+            if t_cfg.checkpoint_every_steps:
+                # never coalesce past the mid-epoch checkpoint cadence —
+                # the user asked for a save every N steps, so a chunk
+                # must not skip over a save point
+                chunk_k = min(chunk_k, int(t_cfg.checkpoint_every_steps))
+            train_chunk = None
+            if chunk_k > 1:
+                train_chunk = self.make_train_chunk(
+                    class_weights, example, sampler is not None, chunk_k
+                )
 
         if t_cfg.profile and jax.process_index() == 0:
             from jax import profiler as _profiler
@@ -1086,22 +1140,42 @@ class Trainer:
                     agg: Dict[str, float] = {}
                     n_steps = 0
 
-                    def _prepare(batch):
+                    def _augment_neg(batch):
                         batch = _augment(batch)
                         if sampler is not None:
                             batch = {**batch, "neg_ids": sampler.sample_batch(batch["user_id"])}
-                        return shard_batch(self.ctx, batch)
+                        return batch
 
-                    for placed in _prefetch(train_batcher.epoch(epoch), _prepare):
-                        state, metrics = train_step(state, placed)
-                        n_steps += 1
-                        if n_steps % t_cfg.log_every_steps == 0 or n_steps == 1:
+                    def _grouped(it):
+                        buf = []
+                        for b in it:
+                            buf.append(b)
+                            if len(buf) == chunk_k:
+                                yield buf
+                                buf = []
+                        if buf:
+                            yield buf
+
+                    def _prepare(group):
+                        group = [_augment_neg(b) for b in group]
+                        if len(group) == chunk_k and train_chunk is not None:
+                            stacked = {
+                                k: np.stack([b[k] for b in group])
+                                for k in group[0]
+                            }
+                            return (len(group), shard_batch_chunk(self.ctx, stacked))
+                        return (0, [shard_batch(self.ctx, b) for b in group])
+
+                    def _log_or_ckpt(metrics, prev_steps):
+                        def crossed(every):
+                            return every and n_steps // every > prev_steps // every
+
+                        if crossed(t_cfg.log_every_steps) or prev_steps == 0:
                             m = jax.device_get(metrics)
                             for k, v in m.items():
                                 agg[k] = agg.get(k, 0.0) + float(v)
                             agg["_agg_count"] = agg.get("_agg_count", 0) + 1
-                        if (t_cfg.checkpoint_every_steps
-                                and n_steps % t_cfg.checkpoint_every_steps == 0):
+                        if crossed(t_cfg.checkpoint_every_steps):
                             # mid-epoch safety checkpoint for long
                             # streaming epochs (the device-resident path
                             # is one compiled call — per-epoch there)
@@ -1110,6 +1184,20 @@ class Trainer:
                                 state._asdict(),
                                 metrics={"mid_epoch": float(epoch)},
                             )
+
+                    for csize, placed in _prefetch(
+                            _grouped(train_batcher.epoch(epoch)), _prepare):
+                        if csize:
+                            prev = n_steps
+                            state, metrics = train_chunk(state, placed)
+                            n_steps += csize
+                            _log_or_ckpt(metrics, prev)
+                        else:
+                            for b in placed:
+                                prev = n_steps
+                                state, metrics = train_step(state, b)
+                                n_steps += 1
+                                _log_or_ckpt(metrics, prev)
                     jax.block_until_ready(state.params)
                     count = max(agg.pop("_agg_count", 1), 1)
                     logs = {f"train_{k}": v / count for k, v in agg.items()}

