@@ -619,6 +619,111 @@ def bench_train_streaming(dim: int, batch: int, reps: int) -> dict:
     return out
 
 
+def bench_efficiency(n_devices: int, dim: int, batch_per_dev: int,
+                     reps: int, n_users: int = 1_000_000,
+                     n_items: int = 100_000) -> dict:
+    """One-command scaling-efficiency harness (VERDICT r4 item 7;
+    BASELINE north star: >=80% scaling efficiency at 8 chips).
+
+    STRONG-scaling measurement of the flagship data-parallel train
+    step: examples/s on a 1-device mesh vs an ``n_devices`` data-axis
+    mesh at the SAME GLOBAL batch (the flagship B), on the same device
+    type. ``efficiency = (exps_N / exps_1) / N``. Strong scaling is the
+    right frame here because the retrieval loss uses global in-batch
+    negatives: per-device work is B_local x B_global, so growing the
+    global batch with N (weak scaling) grows total FLOPs ~N^2 and no
+    hardware could score 100%.
+
+    On this environment only the CPU stand-in can hold N>1 devices, so
+    committed rows here are FUNCTIONAL evidence (labeled
+    ``functional_only: true``); the day real multi-chip hardware is
+    attached, ``python benchmarks/scale_bench.py --mode efficiency
+    --n_devices 8`` is the whole procedure — commit the resulting row
+    next to this one (docs/OPERATIONS.md "Scaling efficiency").
+    """
+    import jax
+
+    if n_devices > len(jax.devices()):
+        _force_cpu_mesh(n_devices)
+        import jax  # noqa: F811 — backend swapped
+
+    import functools
+
+    import jax.numpy as jnp
+
+    from recsys_tpu.config import (
+        EvalConfig, ModelConfig, RecsysConfig, TrainConfig,
+    )
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for n in (1, n_devices):
+        batch = batch_per_dev  # global batch fixed: strong scaling
+        batch_np = {
+            "user_id": rng.integers(0, n_users, batch).astype(np.int32),
+            "movie_id": rng.integers(0, n_items, batch).astype(np.int32),
+            "rating": rng.uniform(1, 5, batch).astype(np.float32),
+            "y_implicit": (rng.random(batch) > 0.4).astype(np.float32),
+            "log_q": np.full(batch, -np.log(n_items), np.float32),
+        }
+        cfg = RecsysConfig(
+            model=ModelConfig(embedding_dim=dim, mixed_precision=True,
+                              dropout_rate=0.2),
+            train=TrainConfig(batch_size=batch, epochs=1,
+                              donate_state=False),
+            eval=EvalConfig(topk=(10,)),
+        )
+        ctx = make_mesh(model_parallel=1, data_parallel=n,
+                        devices=jax.devices()[:n])
+        tr = Trainer(cfg, output_dir="/tmp/eff_bench", mesh_ctx=ctx)
+        state = tr.init_state(n_users, n_items, seed=0)
+        jax.block_until_ready(state.params["towers"]["user_table"])
+        tr._state_for_shape = state
+        from recsys_tpu.parallel.sharding import shard_batch
+
+        placed = shard_batch(ctx, batch_np)
+        step_fn = tr._step_core((1.3, 0.8), False)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def rep(st, b):
+            def body(s, _):
+                s2, m = step_fn(s, dict(b))
+                return s2, m["loss"]
+            s, ls = jax.lax.scan(body, st, jnp.arange(reps))
+            return s, ls[-1]
+
+        _phase(f"devices={n}: compile + warm")
+        s2, last = rep(state, placed)
+        _ = float(last)
+        t0 = time.perf_counter()
+        s2, last = rep(s2, placed)
+        _ = float(last)
+        dt = (time.perf_counter() - t0) / reps
+        out[f"step_ms_{n}dev"] = round(dt * 1e3, 3)
+        out[f"examples_per_s_{n}dev"] = round(batch / dt, 1)
+        _phase(f"devices={n}: {out[f'examples_per_s_{n}dev']:.0f} ex/s")
+        del s2, state
+
+    eff = out[f"examples_per_s_{n_devices}dev"] / (
+        n_devices * out["examples_per_s_1dev"])  # speedup / N
+    out.update({
+        "mode": "efficiency",
+        "platform": jax.devices()[0].platform,
+        "functional_only": jax.devices()[0].platform != "tpu",
+        "n_devices": n_devices,
+        "global_batch": batch_per_dev,
+        "dim": dim,
+        "n_users": n_users,
+        "n_items": n_items,
+        "scaling_efficiency": round(eff, 4),
+        "north_star": 0.80,
+        "meets_north_star": bool(eff >= 0.80),
+    })
+    return out
+
+
 def bench_mesh_train(n_users: int, n_items: int, dim: int, batch: int,
                      reps: int, strategies=None, mode: str = "mesh_train",
                      assert_clean: bool = False) -> dict:
@@ -764,6 +869,11 @@ def main() -> int:
     elif args.mode == "train_streaming":
         res = bench_train_streaming(args.dim or 128, min(args.batch, 4096),
                                     max(args.reps, 20))
+    elif args.mode == "efficiency":
+        res = bench_efficiency(args.n_devices, args.dim or 128,
+                               min(args.batch, 4096), max(args.reps, 20),
+                               n_users=args.rows or 1_000_000,
+                               n_items=(args.rows or 1_000_000) // 10)
     elif args.mode == "mesh_train":
         rows = args.rows or 4_000_000
         dim = args.dim or 32

@@ -296,9 +296,16 @@ class TrainConfig:
     # where a step sees <7% of the catalog — a 16B cache HELPS +9.2%
     # (0.01251 -> 0.01366). Enable when your batch covers little of
     # your catalog.)
-    # Must be a multiple of the global batch size; rides the GSPMD
-    # step (with the a2a/psum explicit-SPMD step it raises — compose
-    # it with lookup_strategy "xla").
+    # Must be a multiple of the global batch size. Composes with every
+    # step family (round 5): the GSPMD step, the explicit a2a/psum
+    # SPMD step with row-sharded tables (the giant-catalog regime CBNS
+    # actually targets — trajectory-parity-tested in
+    # test_negative_cache.py::test_cache_composes_with_spmd_a2a_step),
+    # sparse touched-rows updates, and the non-materializing chunked
+    # loss (cache columns ride the candidate scan). The one rejected
+    # combination is per-replica negative scope (global_negatives=False
+    # on a multi-device data axis): a shared global cache would
+    # silently widen the deliberately-restricted candidate set.
     negative_cache: int = 0
     # jax_debug_nans: every jitted computation re-runs eagerly on NaN
     # so the faulting primitive is named (SURVEY §5.2)

@@ -237,6 +237,7 @@ def in_batch_softmax_chunked(
     log_q: Optional[jnp.ndarray] = None,
     item_bias: Optional[jnp.ndarray] = None,
     chunk_size: int = 4096,
+    extra_candidates=None,
 ) -> jnp.ndarray:
     """Flash-style in-batch softmax CE: candidates are scanned in
     chunks with an online logsumexp, so the [B, n_cand] logits matrix
@@ -257,6 +258,13 @@ def in_batch_softmax_chunked(
     candidate set is the item block all-gathered over that axis and
     the positive column of local row i is ``axis_index * B + i``.
     LogQ correction, item bias and accidental-hit masking all apply.
+
+    ``extra_candidates`` ((emb [N, D], ids [N], corr [N]) — the CBNS
+    cache, same contract as :func:`in_batch_softmax`) appends N extra
+    negative columns AFTER the in-batch block; they are padded to a
+    chunk multiple with corr=-1e9 empty slots (exp(-inf)=0), so the
+    cache composes with the non-materializing path — the memory-bound
+    regime that motivates CBNS in the first place.
     """
     b, d = user_emb.shape
 
@@ -277,6 +285,23 @@ def in_batch_softmax_chunked(
         )
         cand_corr = lax.all_gather(col_corr, axis_name, axis=0, tiled=True)
         diag = jnp.arange(b) + lax.axis_index(axis_name) * b
+
+    if extra_candidates is not None:
+        x_emb, x_ids, x_corr = extra_candidates
+        n_x = x_emb.shape[0]
+        total = candidates.shape[0] + n_x
+        pad = (-total) % min(chunk_size, total)
+        candidates = jnp.concatenate([
+            candidates, x_emb.astype(candidates.dtype),
+            jnp.zeros((pad, d), candidates.dtype)])
+        cand_corr = jnp.concatenate([
+            cand_corr, x_corr.astype(jnp.float32),
+            jnp.full((pad,), -1e9, jnp.float32)])
+        if cand_ids is not None:
+            # pad ids with -1: never equal to a real (>=0) item id —
+            # padded columns are excluded by their -1e9 corr alone
+            cand_ids = jnp.concatenate([
+                cand_ids, x_ids, jnp.full((pad,), -1, x_ids.dtype)])
 
     n_cand = candidates.shape[0]
     chunk_size = min(chunk_size, n_cand)
@@ -310,7 +335,7 @@ def in_batch_softmax_chunked(
         # under a check_vma shard_map the body's output carry varies
         # over the mesh axis (it mixes in the gathered candidates);
         # the constant init must be declared varying too
-        init_lse = jax.lax.pvary(init_lse, axis_name)
+        init_lse = jax.lax.pcast(init_lse, axis_name, to="varying")
     lse, _ = jax.lax.scan(
         chunk_fn, init_lse,
         (jnp.arange(n_chunks), v_chunks, corr_chunks, ids_chunks),

@@ -192,12 +192,12 @@ class MultiTaskModel:
                 bf16=cfg.bf16_retrieval_logits,
                 extra_candidates=extra_candidates,
             )
-        elif loss_path == "chunked" and extra_candidates is None:
+        elif loss_path == "chunked":
             # the non-TPU non-materializing path: online-softmax scan
             # over candidate chunks (jax.checkpoint'd — backward
-            # recomputes per-chunk logits instead of saving them).
-            # (with a negative cache the dense XLA path below is used
-            # instead — chunked has no extra-candidates support)
+            # recomputes per-chunk logits instead of saving them);
+            # the CBNS cache rides the same scan as appended candidate
+            # chunks (padded with -1e9-corr empty slots)
             retr = losses.in_batch_softmax_chunked(
                 u_retr.astype(emb_dtype),
                 out.item_embedding.astype(emb_dtype),
@@ -206,6 +206,7 @@ class MultiTaskModel:
                 mask=mask,
                 log_q=batch.get("log_q"),
                 item_bias=bias,
+                extra_candidates=extra_candidates,
             )
         else:
             retr = losses.in_batch_softmax(

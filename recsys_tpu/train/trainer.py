@@ -357,12 +357,16 @@ class Trainer:
         n = self.config.train.negative_cache
         if n <= 0:
             return
-        if self._use_spmd_step():
+        if (self._use_spmd_step()
+                and not self.config.train.global_negatives
+                and self.ctx.n_data > 1):
+            # per-replica negative scope deliberately restricts each
+            # row's candidates to its own replica's batch; a replicated
+            # global cache would silently widen that scope back out
             raise ValueError(
-                "negative_cache requires the GSPMD step — it does not "
-                "compose with lookup_strategy psum/a2a or per-replica "
-                "negatives (use lookup_strategy='xla' + "
-                "global_negatives=True)")
+                "negative_cache composes with global_negatives only — "
+                "per-replica negative scope contradicts a shared "
+                "cross-batch cache")
         if n % batch_rows != 0:
             raise ValueError(
                 f"negative_cache ({n}) must be a multiple of the global "
@@ -578,6 +582,12 @@ class Trainer:
         n_model = ctx.n_model
         cap_factor = cfg.mesh.lookup_capacity_factor
         rng_impl = cfg.train.dropout_rng_impl
+        # CBNS cache composition (VERDICT r4 item 8): the FIFO is
+        # replicated state — it enters the shard_map as P() (cast
+        # varying in-body so it concatenates with the varying in-batch
+        # candidates), and the new batch's item embeddings come back
+        # batch-sharded for the FIFO append outside the shard_map
+        has_cache = cfg.train.negative_cache > 0
 
         def param_spec(path, leaf):
             names = [p.key for p in path if hasattr(p, "key")]
@@ -595,7 +605,7 @@ class Trainer:
             counts = jnp.zeros((n_model,), jnp.int32).at[owner].add(1)
             return jnp.sum(jnp.maximum(counts - cap, 0))
 
-        def grad_body(params, batch, rng_base, step):
+        def grad_body(params, batch, rng_base, step, cache=None):
             b_local = batch["user_id"].shape[0]
             # per-(data-slot, step) dropout stream: fold the slot index
             # in so rows on different data shards draw independent masks
@@ -660,6 +670,36 @@ class Trainer:
                     return lookup_psum_inside(table_shard, ids, ctx.model_axis)
 
             neg_ids = batch.pop("neg_ids") if use_explicit_negs else None
+            extra_cands = None
+            emb_c = corr_c = None
+            if has_cache:
+                from recsys_tpu.models.towers import TwoTower
+
+                # the cache the LOSS consumes: replicated FIFO, cast
+                # varying over DATA only — the in-batch candidates it
+                # concatenates with are data-varying but model-INVARIANT
+                # (the a2a lookup pmean-reclaims model replication at
+                # the source), and the loss must stay model-invariant
+                extra_cands = tuple(
+                    _lax.pcast(x, ctx.data_axis, to="varying")
+                    for x in cache
+                )
+                # the cache the FIFO gains: THIS batch's item
+                # embeddings (pre-update params — the encodings this
+                # step scored), computed through the collective lookup
+                # when tables are row-sharded
+                tw0 = params["towers"]
+                mid0 = batch["movie_id"]
+                emb_c = _lax.stop_gradient(TwoTower.item_embed(
+                    tw0, mid0, cfg.model, train=False, lookup=lookup))
+                corr_c = jnp.zeros((b_local,), jnp.float32)
+                if cfg.model.use_item_bias:
+                    nb = tw0["item_bias"].shape[0] - 1
+                    corr_c = corr_c + jnp.take(
+                        tw0["item_bias"], jnp.clip(mid0, 0, nb))
+                if "log_q" in batch:
+                    corr_c = corr_c - batch["log_q"]
+                corr_c = _lax.stop_gradient(corr_c)
             loss_params, loss_batch, loss_lookup = params, batch, lookup
             if sparse:
                 # virtual-rows trick inside the SPMD body: gather the
@@ -731,6 +771,7 @@ class Trainer:
                     neg_item_ids=neg_ids,
                     lookup=loss_lookup,
                     data_axis_size=ctx.n_data,
+                    extra_candidates=extra_cands,
                 )
                 # (no model-axis pmean needed: the a2a lookup reclaims
                 # model replication at the source, so the loss is
@@ -748,6 +789,8 @@ class Trainer:
                 metrics["lookup_overflow"] = _lax.pmean(
                     overflow, ctx.data_axis
                 )
+            if has_cache:
+                return grads, metrics, (emb_c, corr_c)
             return grads, metrics
 
         def grad_spec(path, leaf):
@@ -778,13 +821,35 @@ class Trainer:
             # lookup's lax.psum is another psum instead of identity and
             # every table gradient comes back multiplied by n_model
             # (measured 2x on a model=2 mesh).
-            grads, metrics = jax.shard_map(
-                grad_body,
-                mesh=ctx.mesh,
-                in_specs=(params_specs, batch_specs, P(), P()),
-                out_specs=(grads_specs, metric_specs),
-                check_vma=True,
-            )(state.params, batch, state.rng, state.step)
+            new_cache = state.extras
+            if has_cache:
+                grads, metrics, (emb_c, corr_c) = jax.shard_map(
+                    grad_body,
+                    mesh=ctx.mesh,
+                    in_specs=(params_specs, batch_specs, P(), P(), P()),
+                    out_specs=(grads_specs, metric_specs,
+                               (P(ctx.data_axis, None), P(ctx.data_axis))),
+                    check_vma=True,
+                )(state.params, batch, state.rng, state.step,
+                  self._cache_tuple(state))
+                c = state.extras
+                bsz = batch["movie_id"].shape[0]
+                new_cache = {
+                    "emb": jnp.concatenate(
+                        [c["emb"][bsz:], emb_c.astype(c["emb"].dtype)]),
+                    "ids": jnp.concatenate(
+                        [c["ids"][bsz:],
+                         batch["movie_id"].astype(c["ids"].dtype)]),
+                    "corr": jnp.concatenate([c["corr"][bsz:], corr_c]),
+                }
+            else:
+                grads, metrics = jax.shard_map(
+                    grad_body,
+                    mesh=ctx.mesh,
+                    in_specs=(params_specs, batch_specs, P(), P()),
+                    out_specs=(grads_specs, metric_specs),
+                    check_vma=True,
+                )(state.params, batch, state.rng, state.step)
             if sparse:
                 # row grads -> dense-semantics touched-rows update under
                 # the enclosing jit: XLA partitions the combine/scatter
@@ -804,7 +869,8 @@ class Trainer:
                 new_params, new_opt = opt.update(
                     grads, state.opt_state, state.params, state.step
                 )
-            return TrainState(new_params, new_opt, state.step + 1, state.rng), metrics
+            return TrainState(new_params, new_opt, state.step + 1,
+                              state.rng, new_cache), metrics
 
         return step_fn
 

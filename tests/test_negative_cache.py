@@ -204,22 +204,19 @@ def test_trainer_cache_fifo_and_first_step_equivalence(sparse):
                           rtol=1e-6)
 
 
-def test_cache_requires_gspmd_step_and_batch_multiple():
-    from recsys_tpu.config import MeshConfig
-
+def test_cache_rejects_per_replica_scope_and_batch_multiple():
     b = 64
     cfg = RecsysConfig(
         model=_TINY,
-        train=TrainConfig(batch_size=b, epochs=1, negative_cache=2 * b),
-        mesh=MeshConfig(model_axis=2, embedding_sharding="rows",
-                        lookup_strategy="a2a"),
+        train=TrainConfig(batch_size=b, epochs=1, negative_cache=2 * b,
+                          global_negatives=False),
         eval=EvalConfig(topk=(5,)),
     )
-    ctx = make_mesh(model_parallel=2)
-    tr = Trainer(cfg, output_dir="/tmp/negcache_spmd", mesh_ctx=ctx)
+    ctx = make_mesh(model_parallel=1)
+    tr = Trainer(cfg, output_dir="/tmp/negcache_pr", mesh_ctx=ctx)
     state = tr.init_state(40, 30, seed=0)
     tr._state_for_shape = state
-    with pytest.raises(ValueError, match="GSPMD"):
+    with pytest.raises(ValueError, match="per-replica"):
         tr.make_train_step(class_weights=(1.0, 1.0),
                            example_batch=_batch(b, 40, 30, 0),
                            use_explicit_negs=False)
@@ -229,6 +226,83 @@ def test_cache_requires_gspmd_step_and_batch_multiple():
         tr2.make_train_step(class_weights=(1.0, 1.0),
                             example_batch=_batch(64, 40, 30, 0),
                             use_explicit_negs=False)
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_cache_composes_with_spmd_a2a_step(sparse):
+    """VERDICT r4 item 8: the cache now threads through the explicit
+    psum/a2a SPMD step (row-sharded tables — the giant-catalog regime
+    CBNS targets). Parity: the SPMD a2a step with a cache reproduces
+    the GSPMD step's trajectory (losses and cache contents) over 3
+    steps at global negatives."""
+    from recsys_tpu.config import MeshConfig
+
+    b = 64
+    batches = [_batch(b, 40, 30, s) for s in range(3)]
+
+    def run(model_parallel, lookup):
+        cfg = RecsysConfig(
+            model=_TINY,
+            train=TrainConfig(batch_size=b, epochs=1, negative_cache=2 * b,
+                              sparse_table_updates=sparse,
+                              donate_state=False),
+            mesh=MeshConfig(model_axis=model_parallel,
+                            embedding_sharding="rows" if model_parallel > 1
+                            else "replicated",
+                            lookup_strategy=lookup),
+            eval=EvalConfig(topk=(5,)),
+        )
+        ctx = make_mesh(model_parallel=model_parallel)
+        tr = Trainer(cfg, output_dir=f"/tmp/negcache_spmd_{os.getpid()}",
+                     mesh_ctx=ctx)
+        state = tr.init_state(40, 30, seed=0)
+        tr._state_for_shape = state
+        step = tr.make_train_step(class_weights=(1.2, 0.9),
+                                  example_batch=batches[0],
+                                  use_explicit_negs=False)
+        ms = []
+        for bt in batches:
+            state, m = step(state, dict(bt))
+            ms.append(float(m["loss"]))
+        return state, ms
+
+    s_ref, losses_ref = run(1, "xla")       # GSPMD path
+    s_spmd, losses_spmd = run(2, "a2a")     # explicit a2a SPMD path
+    np.testing.assert_allclose(losses_spmd, losses_ref, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(s_spmd.extras["ids"]),
+                                  np.asarray(s_ref.extras["ids"]))
+    np.testing.assert_allclose(np.asarray(s_spmd.extras["corr"]),
+                               np.asarray(s_ref.extras["corr"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_spmd.extras["emb"]),
+                               np.asarray(s_ref.extras["emb"]),
+                               rtol=2e-3, atol=1e-4)
+
+
+def test_chunked_extra_candidates_matches_dense_reference():
+    """The non-materializing chunked loss now accepts the cache
+    (VERDICT r4 item 8's second leg): same math as the dense path,
+    including when the cache pads to a non-chunk-multiple total."""
+    d = _data(b=32, n_extra=24)
+    want = _dense_reference(d["u"], d["v"], d["ids"], d["logq"], d["bias"],
+                            d["x_emb"], d["x_ids"], d["x_corr"])
+    got = float(losses.in_batch_softmax_chunked(
+        d["u"], d["v"], item_ids=d["ids"], log_q=d["logq"],
+        item_bias=d["bias"], chunk_size=16,
+        extra_candidates=(d["x_emb"], d["x_ids"], d["x_corr"]),
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # empty (-1e9 corr) slots are exact no-ops through the chunked path
+    x_emb2 = jnp.concatenate([d["x_emb"],
+                              jnp.ones((8, d["x_emb"].shape[1]))])
+    x_ids2 = jnp.concatenate([d["x_ids"], jnp.full((8,), -1, jnp.int32)])
+    x_corr2 = jnp.concatenate([d["x_corr"], jnp.full((8,), -1e9)])
+    got2 = float(losses.in_batch_softmax_chunked(
+        d["u"], d["v"], item_ids=d["ids"], log_q=d["logq"],
+        item_bias=d["bias"], chunk_size=16,
+        extra_candidates=(x_emb2, x_ids2, x_corr2),
+    ))
+    np.testing.assert_allclose(got2, want, rtol=1e-5)
 
 
 def test_cache_survives_checkpoint_resume(tiny_bundle, tmp_path):

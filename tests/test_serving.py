@@ -855,3 +855,40 @@ def test_rerank_runs_through_batched_path(trained_service):
     assert max(seen_q) > 1, (
         f"rerank never saw a multi-user batch (Q sizes: {seen_q})"
     )
+
+
+def test_fastapi_adapter_contract_parity(trained_service):
+    """``make_fastapi_app`` must answer the same (status, payload) as
+    the stdlib transports for the shared request matrix. Runs wherever
+    fastapi (+ its test client's httpx) is installed; skipped here —
+    the adapter is pure delegation to the exhaustively-tested ``Api``,
+    and this guard asserts the route glue in envs that can."""
+    fastapi = pytest.importorskip("fastapi")  # noqa: F841
+    testclient = pytest.importorskip("fastapi.testclient")
+
+    from recsys_tpu.serve.app import Api, make_fastapi_app
+
+    svc, bundle = trained_service
+    app = make_fastapi_app(svc)
+    client = testclient.TestClient(app)
+    api = Api(svc)
+    uid = int(bundle["meta/user_raw_ids"][0])
+    item = int(bundle["meta/movie_raw_ids"][0])
+    matrix = [
+        ("GET", "/", None),
+        ("GET", "/health", None),
+        ("GET", "/model/info", None),
+        ("POST", "/recommend", {"user_id": uid, "k": 3}),
+        ("POST", "/recommend", {"user_id": -5, "k": 3}),
+        ("POST", "/recommend", {"user_id": uid, "k": 0}),
+        ("POST", "/recommend/batch", {"user_ids": [uid], "k": 2}),
+        ("POST", "/score", {"user_id": uid, "item_id": item}),
+    ]
+    for method, path, body in matrix:
+        want_code, want_payload = (
+            api.dispatch(method, path, body) if method == "POST"
+            else api.dispatch("GET", path, None))
+        r = (client.post(path, json=body) if method == "POST"
+             else client.get(path))
+        assert r.status_code == want_code, (path, r.status_code, want_code)
+        assert r.json() == want_payload, (path, r.json())
