@@ -136,6 +136,25 @@ def main() -> int:
     rows["approx_active"] = bool(
         service.approx_search_threshold
         and args.items > service.approx_search_threshold)
+    # device-compute floor: one batched scoring call, timed per query.
+    # Over this bench host's remote tunnel every dispatch pays ~25 ms
+    # of RPC latency, which bounds ALL single-request rows below; this
+    # leg isolates what the chip itself does per query — the number a
+    # co-located deployment's microbatched QPS is set by.
+    _phase("batched device-compute floor")
+    import time as _time
+
+    for bq in (256, 2048):
+        ids = [int(u) for u in user_ids[:bq]]
+        service.recommend_batch(ids, args.k)  # warm
+        t0 = _time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            service.recommend_batch(ids, args.k)
+        dt = (_time.perf_counter() - t0) / reps
+        rows[f"batch{bq}_ms_per_query"] = round(dt / bq * 1e3, 4)
+        rows[f"batch{bq}_queries_per_s"] = round(bq / dt, 1)
+
     _phase("service-layer floor")
     rows["service_single"] = bench_service(
         service, user_ids, max(args.requests // 2, 500), args.k)
@@ -176,7 +195,11 @@ def main() -> int:
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             existing = json.load(f)
-    existing[str(args.items)] = rows
+    # merge per scale so partial re-runs (e.g. adding the compute-floor
+    # legs) keep previously committed rows
+    merged = existing.get(str(args.items), {})
+    merged.update(rows)
+    existing[str(args.items)] = merged
     with open(RESULTS, "w") as f:
         json.dump(existing, f, indent=2)
     print(json.dumps(rows, indent=2))

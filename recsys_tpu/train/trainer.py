@@ -1013,7 +1013,7 @@ class Trainer:
 
         # explicit negative sampling option (never actually trained with
         # in the reference — here it is real)
-        use_negs = cfg.data.negative_sampling in ("hard", "mixed")
+        use_negs = cfg.data.negative_sampling in ("hard", "mixed", "mined")
         sampler = None
         if use_negs:
             sampler = NegativeSampler(
@@ -1022,6 +1022,33 @@ class Trainer:
                 cfg.data.num_random_negatives,
                 seed=t_cfg.seed,
             ).fit(bundle["train/user_id"], bundle["train/movie_id"], n_items)
+            if cfg.data.negative_sampling == "mined":
+                # index-mined TRUE hard negatives: either injected by
+                # the caller (trainer.mined_table) or mined here from a
+                # previously-trained bundle (data.mined_from — the
+                # two-phase recipe scripts/train.py --mined_from wires)
+                table = getattr(self, "mined_table", None)
+                if table is None and cfg.data.mined_from:
+                    from recsys_tpu.data.negative_sampling import (
+                        mine_hard_negatives,
+                    )
+                    from recsys_tpu.train.checkpoint import (
+                        load_encoder_params,
+                    )
+
+                    logger.info("mining hard negatives from %s",
+                                cfg.data.mined_from)
+                    table = mine_hard_negatives(
+                        load_encoder_params(cfg.data.mined_from),
+                        cfg.model, bundle,
+                        m=cfg.data.mined_pool_size,
+                    )
+                if table is None:
+                    raise ValueError(
+                        "negative_sampling='mined' needs a mined table: "
+                        "set trainer.mined_table or data.mined_from "
+                        "(a trained serving bundle dir)")
+                sampler.set_mined(table)
 
         batch_cols = ("user_id", "movie_id", "rating", "y_implicit")
         if dense_feats is not None:

@@ -58,6 +58,7 @@ def build_config(args):
             negative_sampling=args.negative_sampling,
             num_hard_negatives=args.num_hard_negatives,
             num_random_negatives=args.num_random_negatives,
+            mined_from=getattr(args, "mined_from", ""),
         ),
         train=TrainConfig(
             batch_size=args.batch_size,
@@ -92,7 +93,10 @@ def main(argv=None) -> int:
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--learning_rate", type=float, default=1e-3)
     ap.add_argument("--negative_sampling", default="random",
-                    choices=["random", "hard", "mixed"])
+                    choices=["random", "hard", "mixed", "mined"])
+    ap.add_argument("--mined_from", default="",
+                    help="trained serving-bundle dir to mine TRUE hard "
+                         "negatives from (negative_sampling=mined)")
     ap.add_argument("--num_hard_negatives", type=int, default=20)
     ap.add_argument("--num_random_negatives", type=int, default=30)
     ap.add_argument("--ctr_weight", type=float, default=0.2)

@@ -141,3 +141,83 @@ def test_download_ml1m_checksum_gate(monkeypatch, tmp_path):
                         lambda url, timeout=0: FakeResp(b"not a zip"))
     assert dl.download(str(tmp_path)) == 2
     assert not (tmp_path / "ratings.dat").exists()
+
+
+def test_mined_negative_sampler(tiny_bundle):
+    """strategy="mined": per-step negatives drawn from the index-mined
+    per-user pool + a uniform tail; mining itself excludes seen items
+    and stays in-vocab."""
+    import jax
+
+    from recsys_tpu.config import ModelConfig
+    from recsys_tpu.data.negative_sampling import mine_hard_negatives
+    from recsys_tpu.models.multitask import MultiTaskModel
+
+    n_users = int(tiny_bundle["meta/n_users"])
+    n_items = int(tiny_bundle["meta/n_movies"])
+    cfg = ModelConfig(embedding_dim=8, user_tower_dims=(16,),
+                      item_tower_dims=(16,), mixed_precision=False)
+    params = MultiTaskModel.init(jax.random.PRNGKey(0), cfg, n_users, n_items)
+    table = mine_hard_negatives(params["towers"], cfg, tiny_bundle,
+                                m=7, batch=32)
+    assert table.shape == (n_users, 7)
+    assert table.min() >= 0 and table.max() < n_items
+    # mined pools exclude the user's train interactions
+    train_u = tiny_bundle["train/user_id"]
+    train_i = tiny_bundle["train/movie_id"]
+    for u in np.unique(train_u)[:10]:
+        seen = set(train_i[train_u == u].tolist())
+        assert not (set(table[u].tolist()) & seen), u
+
+    s = NegativeSampler("mined", num_hard=3, num_random=4, seed=0).fit(
+        train_u, train_i, n_items).set_mined(table)
+    uids = train_u[:16].astype(np.int64)
+    negs = s.sample_batch(uids)
+    assert negs.shape == (16, s.n_negatives())
+    # the mined columns come from each user's pool
+    for r, u in enumerate(uids):
+        assert set(negs[r, :3].tolist()) <= set(table[u].tolist()), r
+    # per-step resampling varies the columns
+    negs2 = s.sample_batch(uids)
+    assert not np.array_equal(negs, negs2)
+
+
+def test_mined_trainer_end_to_end(tiny_bundle, tmp_path):
+    """negative_sampling="mined" trains through the explicit-negatives
+    loss with a caller-injected table (the two-phase recipe's phase 2)."""
+    import dataclasses
+
+    import jax
+
+    from recsys_tpu.config import (
+        DataConfig, EvalConfig, ModelConfig, RecsysConfig, TrainConfig,
+    )
+    from recsys_tpu.data.negative_sampling import mine_hard_negatives
+    from recsys_tpu.models.multitask import MultiTaskModel
+    from recsys_tpu.train.trainer import Trainer
+
+    n_users = int(tiny_bundle["meta/n_users"])
+    n_items = int(tiny_bundle["meta/n_movies"])
+    model = ModelConfig(embedding_dim=8, user_tower_dims=(16,),
+                        item_tower_dims=(16,), cross_layers=1,
+                        dnn_dims=(8,), dropout_rate=0.0,
+                        mixed_precision=False)
+    cfg = RecsysConfig(
+        model=model,
+        data=DataConfig(negative_sampling="mined", num_hard_negatives=3,
+                        num_random_negatives=2),
+        train=TrainConfig(batch_size=256, epochs=2, log_every_steps=1),
+        eval=EvalConfig(topk=(5,), eval_batch_size=256),
+    )
+    params = MultiTaskModel.init(jax.random.PRNGKey(1), model,
+                                 n_users, n_items)
+    tr = Trainer(cfg, output_dir=str(tmp_path / "mined"))
+    tr.mined_table = mine_hard_negatives(params["towers"], model,
+                                         tiny_bundle, m=5, batch=64)
+    report = tr.train(tiny_bundle)
+    assert np.isfinite(report["recall@5"])
+
+    # without a table the config fails loudly
+    tr2 = Trainer(cfg, output_dir=str(tmp_path / "mined2"))
+    with pytest.raises(ValueError, match="mined"):
+        tr2.train(tiny_bundle)

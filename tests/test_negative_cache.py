@@ -1,6 +1,7 @@
 """CBNS cross-batch negative cache (TrainConfig.negative_cache —
 arXiv:2110.15154): loss-level semantics, flash parity, trainer FIFO,
-and the documented SPMD restriction."""
+SPMD/sparse/chunked composition (round 5), and the per-replica-scope
+rejection."""
 
 import dataclasses
 import os
