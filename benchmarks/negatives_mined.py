@@ -9,11 +9,17 @@ items — what the model confuses for positives) and feed them to the
 explicit-negatives loss (``losses.sampled_softmax_explicit``) in a
 second training phase.
 
-Two-phase recipe, run end-to-end here:
-  phase 1: the flagship c1 recipe (in-batch softmax only) -> bundle
-  phase 2: SAME recipe + negative_sampling="mined" (pool mined from
-           phase 1's encoder), fresh init — an honest A/B against
-           phase 1, not a fine-tune whose extra epochs would confound.
+Three-arm recipe, run end-to-end here:
+  arm 1: the flagship c1 recipe (in-batch softmax only) -> bundle
+  arm 2: SAME recipe + negative_sampling="mined", pool = ranks [0, 50)
+         of arm 1's index — naive top-of-index mining
+  arm 3: SAME but pool = ranks [10, 60) (``--skip_top 10``): the
+         held-out next items a user will actually pick live at the
+         index head (unseen by construction), so arm 2 trains AGAINST
+         future positives; skipping the head is the standard
+         false-negative mitigation.
+Each mined arm is a fresh init — an honest A/B against arm 1, not a
+fine-tune whose extra epochs would confound.
 
 A win or an honest no-gain both get committed
 (benchmarks/results/negatives_mined.json); the reference's "hard"
@@ -45,6 +51,7 @@ def main() -> int:
     ap.add_argument("--num_hard", type=int, default=8)
     ap.add_argument("--num_random", type=int, default=8)
     ap.add_argument("--pool", type=int, default=50)
+    ap.add_argument("--skip_top", type=int, default=10)
     args = ap.parse_args()
 
     import logging
@@ -62,12 +69,13 @@ def main() -> int:
 
     bundle = get_bundle(1_000_209)
 
-    def cfg_for(neg: str) -> RecsysConfig:
+    def cfg_for(neg: str, weight: float = 1.0) -> RecsysConfig:
         # the exact c1 recipe (benchmarks/run_quality.py::run_one),
-        # varying ONLY the explicit-negatives source
+        # varying ONLY the explicit-negatives source/weight
         return RecsysConfig(
             model=ModelConfig(embedding_dim=128, cross_layers=3,
-                              mixed_precision=True),
+                              mixed_precision=True,
+                              explicit_negatives_weight=weight),
             data=DataConfig(negative_sampling=neg,
                             num_hard_negatives=args.num_hard,
                             num_random_negatives=args.num_random,
@@ -99,38 +107,61 @@ def main() -> int:
         "wall_s": round(time.perf_counter() - t0, 1),
     }
 
-    print("[mined] mining pools from phase 1", file=sys.stderr, flush=True)
     params1 = jax.device_get(tr1.final_state.params)
-    table = mine_hard_negatives(params1["towers"],
-                                cfg_for("mined").model, bundle,
-                                m=args.pool)
 
-    print("[mined] phase 2: + index-mined hard negatives",
-          file=sys.stderr, flush=True)
-    t2 = time.perf_counter()
-    tr2 = Trainer(cfg_for("mined"),
-                  output_dir="outputs/bench_quality/mined_phase2")
-    tr2.mined_table = table
-    rep2 = tr2.train(bundle)
-    out["phase2_mined"] = {
-        "recall@10": rep2["recall@10"], "ndcg@10": rep2["ndcg@10"],
-        "epochs_run": rep2["epochs_run"],
-        "wall_s": round(time.perf_counter() - t2, 1),
-    }
+    def mined_arm(tag: str, skip_top: int, weight: float = 1.0) -> dict:
+        print(f"[mined] arm {tag}: mining ranks "
+              f"[{skip_top}, {skip_top + args.pool}), weight {weight}",
+              file=sys.stderr, flush=True)
+        table = mine_hard_negatives(params1["towers"],
+                                    cfg_for("mined").model, bundle,
+                                    m=args.pool, skip_top=skip_top)
+        t2 = time.perf_counter()
+        tr = Trainer(cfg_for("mined", weight),
+                     output_dir=f"outputs/bench_quality/mined_{tag}")
+        tr.mined_table = table
+        rep = tr.train(bundle)
+        return {
+            "skip_top": skip_top, "weight": weight,
+            "recall@10": rep["recall@10"], "ndcg@10": rep["ndcg@10"],
+            "epochs_run": rep["epochs_run"],
+            "wall_s": round(time.perf_counter() - t2, 1),
+        }
 
-    gain = rep2["recall@10"] / max(rep1["recall@10"], 1e-12) - 1.0
+    out["phase2_mined_top"] = mined_arm("top", 0)
+    out["phase3_mined_skip"] = mined_arm("skip", args.skip_top)
+    # arm 4: the false-negative pressure scaled down — skip + 0.1x
+    # explicit weight (the gentlest standard recipe)
+    out["phase4_mined_skip_lowweight"] = mined_arm(
+        "skip_lw", args.skip_top, 0.1)
+
+    def vs_base(rep) -> float:
+        return rep["recall@10"] / max(rep1["recall@10"], 1e-12) - 1.0
+
+    g_top = vs_base(out["phase2_mined_top"])
+    g_skip = vs_base(out["phase3_mined_skip"])
+    g_lw = vs_base(out["phase4_mined_skip_lowweight"])
+    best = max(g_top, g_skip, g_lw)
     out.update({
         "config": {
             "num_hard": args.num_hard, "num_random": args.num_random,
-            "pool": args.pool, "epochs": args.epochs,
+            "pool": args.pool, "skip_top": args.skip_top,
+            "epochs": args.epochs,
             "platform": jax.devices()[0].platform,
         },
-        "recall_gain": round(gain, 4),
+        "recall_gain_top": round(g_top, 4),
+        "recall_gain_skip": round(g_skip, 4),
+        "recall_gain_skip_lowweight": round(g_lw, 4),
         "verdict": (
             f"index-mined hard negatives "
-            f"{'WIN' if gain > 0.01 else ('LOSE' if gain < -0.01 else 'WASH')}"
-            f": {rep1['recall@10']:.5f} -> {rep2['recall@10']:.5f} "
-            f"({gain:+.2%}) at matched recipe/epochs"
+            f"{'WIN' if best > 0.01 else ('LOSE' if best < -0.01 else 'WASH')}"
+            f": baseline {rep1['recall@10']:.5f}, ranks[0,{args.pool}) "
+            f"{out['phase2_mined_top']['recall@10']:.5f} ({g_top:+.2%}), "
+            f"ranks[{args.skip_top},{args.skip_top + args.pool}) "
+            f"{out['phase3_mined_skip']['recall@10']:.5f} ({g_skip:+.2%}), "
+            f"same ranks at 0.1x weight "
+            f"{out['phase4_mined_skip_lowweight']['recall@10']:.5f} "
+            f"({g_lw:+.2%}) at matched recipe/epochs"
         ),
     })
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)

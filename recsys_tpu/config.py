@@ -54,6 +54,12 @@ class ModelConfig:
     retrieval_weight: float = 1.0
     ctr_weight: float = 2.0
     rating_weight: float = 0.2
+    # weight of the explicit-negatives softmax ADDED to the in-batch
+    # loss when data.negative_sampling requests explicit negatives.
+    # Swept in negatives_mined.json: at 1.0 index-mined negatives cost
+    # -25..-35% recall@10 (false-negative pressure); the sweep's best
+    # arm keeps this small
+    explicit_negatives_weight: float = 1.0
     # bfloat16 compute in towers/DCN (params remain fp32)
     mixed_precision: bool = True
     # keep the in-batch-softmax [B, B] logits in bfloat16 (reductions
@@ -168,6 +174,11 @@ class DataConfig:
     num_random_negatives: int = 10
     mined_from: str = ""  # serving-bundle dir to mine hard negatives from
     mined_pool_size: int = 50  # per-user mined pool M (sampled per step)
+    # skip the index's top-N ranks when mining: rank-0 mining pushes
+    # down the user's actual held-out next items (false negatives) —
+    # measured -35% recall@10; skipping the head is the standard
+    # mitigation (negatives_mined.json has the three-arm ablation)
+    mined_skip_top: int = 10
     # synthetic generator (reference's ratings.dat is a stripped LFS blob)
     synthetic_num_ratings: int = 1_000_209
     synthetic_seed: int = 1

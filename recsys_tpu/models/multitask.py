@@ -231,8 +231,10 @@ class MultiTaskModel:
                 params["towers"], neg_item_ids, cfg, train=train, key=k_neg,
                 lookup=lookup,
             )
-            retr = retr + losses.sampled_softmax_explicit(
-                u_retr, out.item_embedding, neg_emb
+            retr = retr + cfg.explicit_negatives_weight * (
+                losses.sampled_softmax_explicit(
+                    u_retr, out.item_embedding, neg_emb
+                )
             )
         m = losses.mse(out.rating_pred, batch["rating"], mask=mask)
         w_pos, w_neg = class_weights

@@ -423,31 +423,32 @@ def _serve_one(model_dir: str, host: str, port: int, reuse_port: bool,
                stub: bool = False, rerank_candidates: int = 0,
                microbatch: int = 0, microbatch_wait_ms: float = 0.0,
                backend: str = "auto", int8_catalog: bool = False,
-               allow_reload: bool = False, server: str = "threaded") -> None:
+               allow_reload: bool = False, server: str = "threaded",
+               rerank_ctr_weight: float = 0.25,
+               rerank_rating_weight: float = 0.0) -> None:
     service: Optional[RecommendationService] = None
+
+    def make_service():
+        return RecommendationService(
+            model_dir, backend=backend,
+            rerank_candidates=rerank_candidates,
+            rerank_ctr_weight=rerank_ctr_weight,
+            rerank_rating_weight=rerank_rating_weight,
+            int8_catalog=int8_catalog,
+        ).load()
+
     if stub:
         from recsys_tpu.serve.service import StubRecommendationService
 
         service = StubRecommendationService()
     else:
         try:
-            service = RecommendationService(
-                model_dir, backend=backend,
-                rerank_candidates=rerank_candidates,
-                int8_catalog=int8_catalog,
-            ).load()
+            service = make_service()
         except Exception:
             logger.exception(
                 "model load failed; serving in degraded mode (503s)"
             )
-    service_factory = None
-    if allow_reload and not stub:
-        def service_factory():
-            return RecommendationService(
-                model_dir, backend=backend,
-                rerank_candidates=rerank_candidates,
-                int8_catalog=int8_catalog,
-            ).load()
+    service_factory = make_service if (allow_reload and not stub) else None
     if server == "asyncio":
         from recsys_tpu.serve.aio import AioHttpServer
 
@@ -488,6 +489,8 @@ def serve_forever(
     int8_catalog: bool = False,
     allow_reload: bool = False,
     server: str = "threaded",
+    rerank_ctr_weight: float = 0.25,
+    rerank_rating_weight: float = 0.0,
 ) -> None:
     """Load the inference bundle and serve (uvicorn-replacement entry).
     Startup-failure contract parity (``app/main.py:105-119``): if the
@@ -505,7 +508,8 @@ def serve_forever(
                    microbatch=microbatch,
                    microbatch_wait_ms=microbatch_wait_ms, backend=backend,
                    int8_catalog=int8_catalog, allow_reload=allow_reload,
-                   server=server)
+                   server=server, rerank_ctr_weight=rerank_ctr_weight,
+                   rerank_rating_weight=rerank_rating_weight)
         return
     import os as _os
     import signal as _signal
@@ -519,7 +523,9 @@ def serve_forever(
                        microbatch=microbatch,
                        microbatch_wait_ms=microbatch_wait_ms,
                        backend=backend, int8_catalog=int8_catalog,
-                       allow_reload=allow_reload, server=server)
+                       allow_reload=allow_reload, server=server,
+                       rerank_ctr_weight=rerank_ctr_weight,
+                       rerank_rating_weight=rerank_rating_weight)
             _os._exit(0)
         pids.append(pid)
     logger.info("forked %d serving workers on %s:%d", workers, host, port)

@@ -97,13 +97,18 @@ class _FastRerank:
                              "serving the exact per-pair path")
             return None
         # activation gate: exact equality (to tolerance) with the
-        # reference path on random pairs, or we refuse to serve it
+        # reference path on random pairs — BOTH heads (``exact_fn``
+        # returns [N, 2] of (ctr, rating)) — or we refuse to serve it
         rng = np.random.default_rng(0)
         q = min(64, n_users)
         uids = rng.integers(0, n_users, q)
         cands = rng.integers(0, n_items, (q, 3))
-        fast = self.ctr_logits(uids, cands)
-        exact = exact_fn(np.repeat(uids, 3), cands.reshape(-1)).reshape(q, 3)
+        fast = np.stack(self.logits(uids, cands), axis=-1)  # [q, 3, 2]
+        exact = np.asarray(
+            exact_fn(np.repeat(uids, 3), cands.reshape(-1))
+        ).reshape(q, 3, -1)
+        if exact.shape[-1] == 1:  # ctr-only exact fn (legacy/tests)
+            fast = fast[..., :1]
         if not np.allclose(fast, exact, rtol=1e-3, atol=1e-4):
             logger.warning(
                 "fast-rerank self-check failed (max |diff| %.3g): a "
@@ -198,13 +203,23 @@ class _FastRerank:
             beta = beta + np.asarray(layer["b"], np.float32)
         self.beta_L = beta
 
-        # ---- CTR head (cross slice separable, deep slice direct) ------
-        head_w = np.asarray(params["ctr_head"]["w"], np.float32)[:, 0]
-        self.head_b = float(np.asarray(params["ctr_head"]["b"])[0])
-        hc = head_w[:F_in]
-        self.head_cross_dots = entity_dots(hc)
-        self.beta_dot_hc = float(beta @ hc)
-        self.head_deep = head_w[F_in:]
+        # ---- heads (cross slice separable, deep slice direct) ---------
+        # Both task heads read the same DCN trunk feature
+        # (``multitask.py::MultiTaskModel.apply``: rating and ctr are
+        # parallel dense layers on ``h``), so the rating head costs only
+        # a second set of per-entity dots on the SAME alpha/deep trunk —
+        # this is what lets serving use the trained rating head at all
+        # (rerank_weight_sweep.json: +2.1% recall@10 over ctr-only).
+        def head_pre(name: str) -> dict:
+            w = np.asarray(params[name]["w"], np.float32)[:, 0]
+            return {
+                "b": float(np.asarray(params[name]["b"])[0]),
+                "cross_dots": entity_dots(w[:F_in]),
+                "beta_dot": float(beta @ w[:F_in]),
+                "deep": w[F_in:],
+            }
+
+        self.heads = (head_pre("ctr_head"), head_pre("rating_head"))
 
         # ---- deep MLP: first layer precomputed per entity -------------
         deep = dcn["deep"]
@@ -241,8 +256,12 @@ class _FastRerank:
             p = np.clip(p, -self.clip_std, self.clip_std)
         return p.astype(np.float32)
 
-    def ctr_logits(self, uids: np.ndarray, cands: np.ndarray) -> np.ndarray:
-        """uids [Q], cands [Q, C] -> CTR logits [Q, C]."""
+    def logits(self, uids: np.ndarray,
+               cands: np.ndarray) -> tuple:
+        """uids [Q], cands [Q, C] -> (ctr_logits, rating_preds), each
+        [Q, C], from ONE shared trunk pass (pair columns, cross scalar
+        recurrence, deep MLP) — the second head adds only gathers and
+        one [Q*C] x [H] matvec."""
         q, c = cands.shape
         flat = cands.reshape(-1)
         urep = np.repeat(np.asarray(uids), c)
@@ -260,8 +279,8 @@ class _FastRerank:
         for layer in self.cross:
             s0 = dot_x0(layer["dots"])
             alpha = alpha * (s0 + 1.0) + layer["beta_dot_w"]
-        logit = alpha * dot_x0(self.head_cross_dots) + self.beta_dot_hc
 
+        h = None
         if self.P1 is not None:
             h = self.Q1[urep] + self.P1[flat] + self.c1
             if pair is not None and self.pair1 is not None:
@@ -269,8 +288,18 @@ class _FastRerank:
             h = np.maximum(h, 0.0)
             for w, b in self.deep_rest:
                 h = np.maximum(h @ w + b, 0.0)
-            logit = logit + h @ self.head_deep
-        return (logit + self.head_b).reshape(q, c)
+
+        outs = []
+        for hd in self.heads:
+            logit = alpha * dot_x0(hd["cross_dots"]) + hd["beta_dot"]
+            if h is not None:
+                logit = logit + h @ hd["deep"]
+            outs.append((logit + hd["b"]).reshape(q, c))
+        return tuple(outs)
+
+    def ctr_logits(self, uids: np.ndarray, cands: np.ndarray) -> np.ndarray:
+        """uids [Q], cands [Q, C] -> CTR logits [Q, C]."""
+        return self.logits(uids, cands)[0]
 
 
 class RecommendationService:
@@ -293,6 +322,7 @@ class RecommendationService:
                  approx_search_threshold: int = 1_000_000,
                  rerank_candidates: int = 0,
                  rerank_ctr_weight: float = 0.25,
+                 rerank_rating_weight: float = 0.0,
                  mesh_ctx=None,
                  int8_catalog: bool = False,
                  exported_path: Optional[str] = None):
@@ -317,6 +347,16 @@ class RecommendationService:
         # bundle (full params).
         self.rerank_candidates = rerank_candidates
         self.rerank_ctr_weight = rerank_ctr_weight
+        # trained rating head as a third rerank signal. The measured
+        # winner on the c3d bundle is (ctr=0.1, rating=0.25): +2.1%
+        # recall@10 over the ctr-only baseline
+        # (benchmarks/results/rerank_weight_sweep.json) — at ctr=0.25
+        # the rating head HURTS, so the two weights must be set as a
+        # pair (scripts/serve.py --rerank_rating_weight). Default 0.0
+        # keeps existing deployments' ctr-only behavior. The reference
+        # never serves its rating head at all
+        # (/root/reference/src/models.py:119).
+        self.rerank_rating_weight = rerank_rating_weight
         self.model_params = None
         self.feature_engineer = None
         self._fast_rerank: Optional[_FastRerank] = None
@@ -371,7 +411,7 @@ class RecommendationService:
                     self.model_params, self.config.model,
                     self.feature_engineer,
                     len(self.user_id_map), len(self.item_id_map),
-                    self._tower_np, self._ctr_exact_for_check,
+                    self._tower_np, self._heads_exact_for_check,
                 )
                 if self._fast_rerank is not None:
                     logger.info("fast rerank active (precomputed towers "
@@ -500,50 +540,62 @@ class RecommendationService:
                              flat_i: np.ndarray) -> np.ndarray:
         """Exact per-pair CTR logits (features + full model forward) —
         the reference path _FastRerank self-checks against at build."""
+        return self._heads_exact_for_check(flat_u, flat_i)[:, 0]
+
+    def _heads_exact_for_check(self, flat_u: np.ndarray,
+                               flat_i: np.ndarray) -> np.ndarray:
+        """Exact per-pair (ctr, rating) [N, 2] — _FastRerank's build
+        gate checks BOTH heads since the rating head serves too."""
         dense = None
         if self.config.model.dense_features > 0:
             eng = self.feature_engineer
             now = np.full(len(flat_u), eng.t_ref)
             dense = eng.transform_scaled(flat_u, flat_i, now)
-        return self._ctr_logits_np(flat_u, flat_i, dense)
+        feat = self._trunk_np(flat_u, flat_i, dense)
+        return np.stack([self._head_np(feat, "ctr_head"),
+                         self._head_np(feat, "rating_head")], axis=-1)
 
     def _rerank(self, dense_uids, scores, idx, k: int):
         """Two-stage rerank: [Q, C] candidates -> top-[Q, k] by
-        retrieval score + ctr_weight * DCN CTR logit (same combination
-        as the offline two-stage eval)."""
+        retrieval score + ctr_weight * CTR logit
+        [+ rating_weight * rating pred] (same combination as the
+        offline two-stage eval / rerank_weight_sweep.json)."""
         idx = np.asarray(idx)
         q, c = idx.shape
+        w_r = self.rerank_rating_weight
         if (self._fast_rerank is not None
                 and self._resolved_backend() != "device"):
             # precomputed host path: gathers + one small matmul
-            ctr = self._fast_rerank.ctr_logits(
+            ctr, rating = self._fast_rerank.logits(
                 np.asarray(dense_uids), idx)
-            combined = np.asarray(scores) + self.rerank_ctr_weight * ctr
-            order = np.argsort(-combined, axis=1)[:, :k]
-            return (
-                np.take_along_axis(combined, order, axis=1),
-                np.take_along_axis(idx, order, axis=1),
-            )
-        flat_u = np.repeat(np.asarray(dense_uids), c)
-        flat_i = idx.reshape(-1)
-        dense = None
-        if self.config.model.dense_features > 0:
-            eng = self.feature_engineer
-            now = np.full(len(flat_u), eng.t_ref)
-            dense = eng.transform_scaled(flat_u, flat_i, now)
-        if self._resolved_backend() == "native":
-            # host path: no per-request accelerator dispatch
-            ctr = self._ctr_logits_np(flat_u, flat_i, dense).reshape(q, c)
         else:
-            from recsys_tpu.models.multitask import MultiTaskModel
+            flat_u = np.repeat(np.asarray(dense_uids), c)
+            flat_i = idx.reshape(-1)
+            dense = None
+            if self.config.model.dense_features > 0:
+                eng = self.feature_engineer
+                now = np.full(len(flat_u), eng.t_ref)
+                dense = eng.transform_scaled(flat_u, flat_i, now)
+            if self._resolved_backend() == "native":
+                # host path: no per-request accelerator dispatch
+                feat = self._trunk_np(flat_u, flat_i, dense)
+                ctr = self._head_np(feat, "ctr_head").reshape(q, c)
+                rating = (self._head_np(feat, "rating_head").reshape(q, c)
+                          if w_r else 0.0)
+            else:
+                from recsys_tpu.models.multitask import MultiTaskModel
 
-            out = MultiTaskModel.apply(
-                self.model_params, self.config.model,
-                jnp.asarray(flat_u), jnp.asarray(flat_i),
-                dense=None if dense is None else jnp.asarray(dense),
-            )
-            ctr = np.asarray(out.ctr_logit).reshape(q, c)
+                out = MultiTaskModel.apply(
+                    self.model_params, self.config.model,
+                    jnp.asarray(flat_u), jnp.asarray(flat_i),
+                    dense=None if dense is None else jnp.asarray(dense),
+                )
+                ctr = np.asarray(out.ctr_logit).reshape(q, c)
+                rating = (np.asarray(out.rating_pred).reshape(q, c)
+                          if w_r else 0.0)
         combined = np.asarray(scores) + self.rerank_ctr_weight * ctr
+        if w_r:
+            combined = combined + w_r * rating
         order = np.argsort(-combined, axis=1)[:, :k]
         return (
             np.take_along_axis(combined, order, axis=1),
@@ -591,13 +643,11 @@ class RecommendationService:
         return self._tower_np(self.encoder_params, "user_table",
                               "user_tower", ids)
 
-    def _ctr_logits_np(self, user_ids: np.ndarray,
-                       item_ids: np.ndarray,
-                       dense: Optional[np.ndarray] = None) -> np.ndarray:
-        """Pure-NumPy full-model CTR logit (towers -> DCN -> ctr head,
-        inference mode) for the host rerank path — parity with
-        ``MultiTaskModel.apply().ctr_logit`` is tested in
-        test_serving.py."""
+    def _trunk_np(self, user_ids: np.ndarray, item_ids: np.ndarray,
+                  dense: Optional[np.ndarray] = None) -> np.ndarray:
+        """Pure-NumPy DCN trunk feature (towers -> cross + deep concat,
+        inference mode) shared by both task heads — parity with
+        ``MultiTaskModel.apply`` is tested in test_serving.py."""
         p = self.model_params
         tw = p["towers"]
         u = self._tower_np(tw, "user_table", "user_tower", user_ids)
@@ -618,11 +668,18 @@ class RecommendationService:
                 h = np.maximum(
                     h @ np.asarray(layer["w"]) + np.asarray(layer["b"]), 0.0
                 )
-            feat = np.concatenate([xl, h], axis=-1)
-        else:
-            feat = xl
-        head = p["ctr_head"]
+            return np.concatenate([xl, h], axis=-1)
+        return xl
+
+    def _head_np(self, feat: np.ndarray, name: str) -> np.ndarray:
+        head = self.model_params[name]
         return (feat @ np.asarray(head["w"]) + np.asarray(head["b"]))[:, 0]
+
+    def _ctr_logits_np(self, user_ids: np.ndarray,
+                       item_ids: np.ndarray,
+                       dense: Optional[np.ndarray] = None) -> np.ndarray:
+        return self._head_np(self._trunk_np(user_ids, item_ids, dense),
+                             "ctr_head")
 
     def recommend(self, user_id: int, k: int = 10) -> List[Dict]:
         """Top-k for one user; cosine scores; popularity fallback for

@@ -1042,6 +1042,7 @@ class Trainer:
                         load_encoder_params(cfg.data.mined_from),
                         cfg.model, bundle,
                         m=cfg.data.mined_pool_size,
+                        skip_top=cfg.data.mined_skip_top,
                     )
                 if table is None:
                     raise ValueError(

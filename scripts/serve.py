@@ -29,6 +29,17 @@ def main(argv=None) -> int:
                     help="two-stage serving: retrieve this many candidates "
                          "and rerank with the DCN CTR head (0 = retrieval "
                          "only, the reference contract; needs model.npz)")
+    ap.add_argument("--rerank_ctr_weight", type=float, default=0.25,
+                    help="weight of the CTR logit in the rerank score "
+                         "(0.25 is the ctr-only offline optimum; use 0.1 "
+                         "WITH --rerank_rating_weight 0.25 — the measured "
+                         "joint winner, rerank_weight_sweep.json)")
+    ap.add_argument("--rerank_rating_weight", type=float, default=0.0,
+                    help="weight of the trained rating head in the rerank "
+                         "score (measured winner 0.25 with ctr weight 0.1: "
+                         "+2.1%% recall@10 over ctr-only; at ctr weight "
+                         "0.25 the rating head HURTS — set the pair "
+                         "together)")
     ap.add_argument("--workers", type=int, default=1,
                     help="forked SO_REUSEPORT serving processes (use with "
                          "the host-side scoring backend; >1 sidesteps the GIL)")
@@ -91,6 +102,8 @@ def main(argv=None) -> int:
     serve_forever(args.model_dir, args.host, args.port,
                   workers=args.workers, stub=args.stub,
                   rerank_candidates=args.rerank_candidates,
+                  rerank_ctr_weight=args.rerank_ctr_weight,
+                  rerank_rating_weight=args.rerank_rating_weight,
                   microbatch=args.microbatch,
                   microbatch_wait_ms=args.microbatch_wait_ms,
                   backend=args.backend, int8_catalog=args.int8_catalog,

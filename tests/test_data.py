@@ -181,6 +181,15 @@ def test_mined_negative_sampler(tiny_bundle):
     negs2 = s.sample_batch(uids)
     assert not np.array_equal(negs, negs2)
 
+    # skip_top drops exactly the index head: ranks [s, s+m) of the
+    # skip-mined table equal ranks [s..] of a deeper unskipped mine
+    # (the false-negative mitigation measured in negatives_mined.json)
+    deep = mine_hard_negatives(params["towers"], cfg, tiny_bundle,
+                               m=10, batch=32)
+    skipped = mine_hard_negatives(params["towers"], cfg, tiny_bundle,
+                                  m=7, batch=32, skip_top=3)
+    np.testing.assert_array_equal(skipped, deep[:, 3:10])
+
 
 def test_mined_trainer_end_to_end(tiny_bundle, tmp_path):
     """negative_sampling="mined" trains through the explicit-negatives
