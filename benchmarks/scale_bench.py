@@ -409,6 +409,111 @@ def bench_train(n_users: int, n_items: int, dim: int, batch: int,
     return out
 
 
+def bench_a2a_overhead(rows: int, dim: int, batch: int,
+                       reps: int) -> dict:
+    """Single-chip cost of the a2a lookup's bucketing machinery
+    (VERDICT r4 weak #5: it was never measured on hardware).
+
+    The claim that capacity-bucketed all-to-all beats masked+psum on a
+    real multi-chip mesh rests on DESIGN §3.1's bytes-moved model (the
+    8-device CPU stand-in inverts the ranking — `scale.json` "mesh").
+    The part that IS measurable on one chip: run the full production
+    lookup bodies (`embed/table.py`) on a degenerate data=1 x model=1
+    mesh of the real TPU, where both collectives are on-chip no-ops —
+    what remains is each strategy's per-shard compute machinery:
+
+    * plain     — `jnp.take` (the no-machinery floor)
+    * psum      — masked local take + psum
+    * a2a       — stable sort by owner + capacity binning + two
+                  all-to-all reshapes + scatter-back (+ overflow count)
+
+    `a2a_machinery_us` (a2a minus plain) is the fixed per-step tax the
+    bucketing adds; DESIGN §3.1's bytes model then gives the shard
+    count / batch size where the a2a's bandwidth advantage
+    (capacity*D vs n_shards*B*D psum bytes) pays for it."""
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.embed.table import (
+        a2a_capacity, make_sharded_lookup_a2a, make_sharded_lookup_psum,
+    )
+    from recsys_tpu.parallel.mesh import make_mesh
+
+    ctx = make_mesh(model_parallel=1)
+    key = jax.random.key(0, impl="rbg")
+    table = jax.random.normal(key, (rows, dim), jnp.float32)
+    jax.block_until_ready(table)
+    ids0 = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, rows,
+                              jnp.int32)
+    out = {}
+
+    def plain_fn(c, i, table, ids0):
+        emb = jnp.take(table, (ids0 + i) % rows, axis=0)
+        return c + emb[0, 0]
+
+    out["plain_ms"] = round(
+        timed_scan(plain_fn, jnp.float32(0), reps, table, ids0) * 1e3, 4)
+
+    psum = make_sharded_lookup_psum(ctx)
+
+    def psum_fn(c, i, table, ids0):
+        emb = psum(table, (ids0 + i) % rows)
+        return c + emb[0, 0]
+
+    out["psum_ms"] = round(
+        timed_scan(psum_fn, jnp.float32(0), reps, table, ids0) * 1e3, 4)
+
+    for factor in (1.0, 2.0):
+        cap = a2a_capacity(batch, ctx.n_model, factor)
+        a2a = make_sharded_lookup_a2a(ctx, cap)
+
+        def a2a_fn(c, i, table, ids0):
+            emb, ovf = a2a(table, (ids0 + i) % rows)
+            return c + emb[0, 0] + ovf.astype(jnp.float32)
+
+        tag = str(factor).replace(".", "_")
+        out[f"a2a_ms_cap{tag}"] = round(
+            timed_scan(a2a_fn, jnp.float32(0), reps, table, ids0) * 1e3, 4)
+
+    # the train-step-relevant cost: forward + the gather transpose
+    # (scatter-add) backward, a2a vs plain
+    cap = a2a_capacity(batch, ctx.n_model, 1.25)
+    a2a = make_sharded_lookup_a2a(ctx, cap)
+
+    def plain_grad_fn(c, i, table, ids0):
+        ids = (ids0 + i) % rows
+        g = jax.grad(lambda t: jnp.take(t, ids, axis=0).sum())(table)
+        return c + g[0, 0]
+
+    def a2a_grad_fn(c, i, table, ids0):
+        ids = (ids0 + i) % rows
+        g = jax.grad(lambda t: a2a(t, ids)[0].sum())(table)
+        return c + g[0, 0]
+
+    g_reps = max(reps // 2, 4)
+    out["plain_fwdbwd_ms"] = round(
+        timed_scan(plain_grad_fn, jnp.float32(0), g_reps, table, ids0)
+        * 1e3, 4)
+    out["a2a_fwdbwd_ms"] = round(
+        timed_scan(a2a_grad_fn, jnp.float32(0), g_reps, table, ids0)
+        * 1e3, 4)
+
+    out.update({
+        "mode": "a2a_overhead",
+        "platform": jax.devices()[0].platform,
+        "rows": rows, "dim": dim, "batch": batch,
+        "a2a_machinery_us": round(
+            (out["a2a_ms_cap1_0"] - out["plain_ms"]) * 1e3, 1),
+        "a2a_machinery_fwdbwd_us": round(
+            (out["a2a_fwdbwd_ms"] - out["plain_fwdbwd_ms"]) * 1e3, 1),
+        "note": ("degenerate 1-device mesh: collectives are on-chip "
+                 "no-ops; deltas vs plain isolate each strategy's "
+                 "bucketing/masking compute. Cross-shard bytes ride "
+                 "DESIGN §3.1's model."),
+    })
+    return out
+
+
 def bench_train_streaming(dim: int, batch: int, reps: int) -> dict:
     """Streaming input path on the chip (VERDICT r4 item 1). The
     streaming path is the ONLY input path multi-host training can take
@@ -843,7 +948,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["chip", "mesh", "train", "mesh_train",
                                        "mesh_train_100m", "train_streaming",
-                                       "efficiency"],
+                                       "efficiency", "a2a_overhead"],
                     required=True)
     ap.add_argument("--rows", type=int, default=0, help="table rows (0 = mode default)")
     ap.add_argument("--dim", type=int, default=0)
@@ -869,6 +974,10 @@ def main() -> int:
     elif args.mode == "train_streaming":
         res = bench_train_streaming(args.dim or 128, min(args.batch, 4096),
                                     max(args.reps, 20))
+    elif args.mode == "a2a_overhead":
+        res = bench_a2a_overhead(args.rows or 1_000_000, args.dim or 128,
+                                 min(args.batch, 4096),
+                                 max(args.reps, 50))
     elif args.mode == "efficiency":
         res = bench_efficiency(args.n_devices, args.dim or 128,
                                min(args.batch, 4096), max(args.reps, 20),

@@ -267,3 +267,24 @@ def test_scale_bench_efficiency_mode_smoke():
     assert res["examples_per_s_2dev"] > 0
     assert isinstance(res["meets_north_star"], bool)
     assert res["north_star"] == 0.80
+
+
+@pytest.mark.slow
+def test_scale_bench_a2a_overhead_mode_smoke():
+    """The single-chip a2a-bucketing-cost bench (VERDICT r4 weak #5)
+    runs on a degenerate 1-device mesh and emits the machinery deltas;
+    on the committed TPU row the deltas anchor DESIGN §3.1's crossover
+    constant."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "benchmarks"))
+    from scale_bench import bench_a2a_overhead
+
+    res = bench_a2a_overhead(rows=512, dim=8, batch=64, reps=3)
+    assert res["mode"] == "a2a_overhead"
+    for k in ("plain_ms", "psum_ms", "a2a_ms_cap1_0", "a2a_ms_cap2_0",
+              "plain_fwdbwd_ms", "a2a_fwdbwd_ms"):
+        assert res[k] > 0, k
+    assert "a2a_machinery_us" in res and "a2a_machinery_fwdbwd_us" in res
