@@ -106,18 +106,33 @@ def run_one(name: str, spec: dict, bundle) -> dict:
 
 
 def two_stage_eval(trainer, cfg, bundle) -> dict:
-    """configs[3]: retrieval top-200 candidates -> DCN CTR-head rerank
-    -> recall@10 of the reranked list (the full two-stage serving path
-    scored offline, via the shared library evaluator)."""
+    """configs[3]: retrieval top-200 candidates -> DCN rerank ->
+    recall@10 of the reranked list (the full two-stage serving path
+    scored offline, via the shared library evaluator). Two rows: the
+    ctr-only default (weight 0.25) and the round-5 joint optimum
+    (ctr 0.1 + rating 0.25, rerank_weight_sweep.json — the trained
+    rating head as a third rerank signal)."""
     import jax
 
     from recsys_tpu.retrieval.evaluator import two_stage_evaluate
 
-    return two_stage_evaluate(
-        jax.device_get(trainer.final_state.params), cfg.model, bundle,
-        split="val", n_cand=200, ctr_weight=0.25, topk=10,
-        engineer=getattr(trainer, "_feature_engineer", None),
+    params = jax.device_get(trainer.final_state.params)
+    eng = getattr(trainer, "_feature_engineer", None)
+    out = two_stage_evaluate(
+        params, cfg.model, bundle,
+        split="val", n_cand=200, ctr_weight=0.25, topk=10, engineer=eng,
     )
+    joint = two_stage_evaluate(
+        params, cfg.model, bundle,
+        split="val", n_cand=200, ctr_weight=0.1, rating_weight=0.25,
+        topk=10, engineer=eng,
+    )
+    out.update({
+        "two_stage_joint_recall@10": joint["two_stage_recall@10"],
+        "two_stage_joint_ndcg@10": joint["two_stage_ndcg@10"],
+        "two_stage_joint_weights": {"ctr": 0.1, "rating": 0.25},
+    })
+    return out
 
 
 def main() -> int:
