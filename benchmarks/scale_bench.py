@@ -190,7 +190,8 @@ def bench_chip(rows: int, dim: int, batch: int, catalog: int, k: int,
 
 
 def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
-               q_batch: int, reps: int, n_devices: int) -> dict:
+               q_batch: int, reps: int, n_devices: int,
+               lookup_only: bool = False) -> dict:
     _force_cpu_mesh(n_devices)
     import jax
     import jax.numpy as jnp
@@ -265,6 +266,41 @@ def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
     results["all_to_all"] = timed_scan(a2a_fn, jnp.float32(0), reps, table, ids0)
     print("[mesh] all_to_all done", file=sys.stderr, flush=True)
 
+    base = {
+        "mode": "mesh",
+        "platform": jax.devices()[0].platform,
+        "n_devices": n_devices,
+        "table_rows": rows,
+        "dim": dim,
+        "table_gb": round(rows * dim * 4 / 2**30, 2),
+        "rows_per_shard": rows // n_devices,
+        "lookup_batch": batch,
+        "a2a_capacity_per_shard": cap,
+        "lookup_ids_per_s": {
+            name: round(batch / dt, 1)
+            for name, dt in results.items()
+            if name in ("xla_partitioned", "psum", "all_to_all")
+        },
+        "lookup_ms": {
+            name: round(dt * 1e3, 3)
+            for name, dt in results.items()
+            if name in ("xla_partitioned", "psum", "all_to_all")
+        },
+    }
+    if lookup_only:
+        # refresh only the lookup rows, merging over the section's
+        # existing top-k rows (the catalog phase's 8-virtual-device
+        # all-gather starves the 2-core host's collective rendezvous
+        # under contention — the top-k paths are untouched by lookup
+        # changes, so their committed rows stand)
+        existing = {}
+        if os.path.exists(RESULTS):
+            with open(RESULTS) as f:
+                existing = json.load(f).get("mesh", {})
+        merged = {**existing, **base}
+        merged["lookup_refreshed_standalone"] = True
+        return merged
+
     # sharded top-k over a row-sharded catalog. Built directly at
     # [catalog, dim] with the rows sharding — slicing the 100M-row
     # sharded table concentrates the slice on shard 0 and the reshard
@@ -297,25 +333,7 @@ def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
         ring_fn, jnp.float32(0), max(reps // 4, 2), q0, catalog_emb)
 
     return {
-        "mode": "mesh",
-        "platform": jax.devices()[0].platform,
-        "n_devices": n_devices,
-        "table_rows": rows,
-        "dim": dim,
-        "table_gb": round(rows * dim * 4 / 2**30, 2),
-        "rows_per_shard": rows // n_devices,
-        "lookup_batch": batch,
-        "a2a_capacity_per_shard": cap,
-        "lookup_ids_per_s": {
-            name: round(batch / dt, 1)
-            for name, dt in results.items()
-            if name in ("xla_partitioned", "psum", "all_to_all")
-        },
-        "lookup_ms": {
-            name: round(dt * 1e3, 3)
-            for name, dt in results.items()
-            if name in ("xla_partitioned", "psum", "all_to_all")
-        },
+        **base,
         "catalog_items": catalog,
         "topk_k": k,
         "topk_query_batch": q_batch,
@@ -958,6 +976,11 @@ def main() -> int:
     ap.add_argument("--q_batch", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--n_devices", type=int, default=8)
+    ap.add_argument("--lookup_only", action="store_true",
+                    help="mesh mode: refresh only the lookup-strategy "
+                         "rows, merging over the section's committed "
+                         "top-k rows (the catalog phase's collectives "
+                         "can starve a contended 2-core host)")
     args = ap.parse_args()
 
     if args.mode == "chip":
@@ -1007,7 +1030,8 @@ def main() -> int:
         dim = args.dim or 16
         catalog = args.catalog or 8_000_000
         res = bench_mesh(rows, dim, args.batch, catalog, args.k,
-                         args.q_batch, args.reps, args.n_devices)
+                         args.q_batch, args.reps, args.n_devices,
+                         lookup_only=args.lookup_only)
 
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
     existing = {}

@@ -102,25 +102,30 @@ def lookup_a2a_inside(table_shard: jnp.ndarray, ids: jnp.ndarray,
     rows_per_shard = table_shard.shape[0]
     owner = jnp.clip(ids // rows_per_shard, 0, n - 1)
 
-    # stable bucket-by-owner with fixed capacity per destination
-    order = jnp.argsort(owner, stable=True)
-    sorted_ids = ids[order]
-    sorted_owner = owner[order]
-    # position of each element within its owner run
-    ones = jnp.ones_like(sorted_owner)
-    pos_in_owner = jnp.cumsum(ones) - 1
-    start = jnp.searchsorted(sorted_owner, jnp.arange(n))
-    pos_in_owner = pos_in_owner - start[sorted_owner]
+    # Stable counting-rank instead of a sort (round 5): each id's
+    # position within its owner bucket comes from a one-hot prefix sum
+    # over the tiny shard axis — O(B·n) fully-parallel VPU work
+    # replacing the O(B log B) argsort + searchsorted + inverse
+    # scatter (which measured 177 µs of single-chip machinery at
+    # B=4096/D=128; re-measured after this rewrite in scale.json
+    # "a2a_overhead").
+    one_hot = (owner[:, None] == jnp.arange(n)[None, :]).astype(jnp.int32)
+    prefix = jnp.cumsum(one_hot, axis=0)  # inclusive counts [B, n]
+    pos_in_owner = jnp.take_along_axis(prefix, owner[:, None],
+                                       axis=1)[:, 0] - 1
     fits = pos_in_owner < capacity
     overflow = jnp.sum(~fits)
 
-    # send buffer [n * capacity] of local row indices (+1, 0 = empty)
-    send = jnp.zeros((n * capacity,), jnp.int32)
-    slot = sorted_owner * capacity + jnp.where(fits, pos_in_owner, 0)
-    local_row = sorted_ids - sorted_owner * rows_per_shard
-    send = send.at[slot].set(
-        jnp.where(fits, local_row + 1, send[slot]).astype(jnp.int32)
-    )
+    # send buffer [n * capacity] of local row indices (+1, 0 = empty).
+    # Overflowing ids are routed out of bounds and DROPPED by scatter
+    # semantics — deterministic, and (unlike the sort-based version,
+    # whose overflow writes raced a legitimate element for bucket
+    # slot 0) it can never clobber a fitting request.
+    slot = owner * capacity + pos_in_owner
+    local_row = ids - owner * rows_per_shard
+    send = jnp.zeros((n * capacity,), jnp.int32).at[
+        jnp.where(fits, slot, n * capacity)
+    ].set((local_row + 1).astype(jnp.int32), mode="drop")
 
     # exchange id requests: chunk j goes to shard j
     req = lax.all_to_all(
@@ -136,9 +141,9 @@ def lookup_a2a_inside(table_shard: jnp.ndarray, ids: jnp.ndarray,
         got.reshape(n, capacity, -1), axis, split_axis=0, concat_axis=0
     ).reshape(n * capacity, -1)
 
-    # scatter results to original positions
-    out_sorted = jnp.where(fits[:, None], back[slot], 0.0)
-    out = jnp.zeros_like(out_sorted).at[order].set(out_sorted)
+    # each original position reads its own slot straight back — the
+    # sortless formulation needs no inverse scatter
+    out = jnp.where(fits[:, None], back[jnp.where(fits, slot, 0)], 0.0)
     return out, overflow
 
 

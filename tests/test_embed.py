@@ -79,6 +79,28 @@ def test_a2a_overflow_reported(setup):
     assert int(overflow) > 0
 
 
+def test_a2a_overflow_never_clobbers_fitting_requests(setup):
+    """Round-5 determinism fix: the sort-based bucketing scattered
+    overflowing ids onto bucket slot 0 with a duplicate write that
+    raced the legitimate occupant (nondeterministically zeroing a
+    FITTING element's row). The counting-rank version drops overflow
+    out of bounds: the first `capacity` ids of each bucket (in
+    original order) must be served exactly; the rest get zero rows and
+    are counted."""
+    ctx, table, _, table_dev, _ = setup
+    ids = np.arange(16, dtype=np.int32) % 8  # all owned by shard 0
+    ids_dev = jax.device_put(ids, batch_sharding(ctx))
+    f = make_sharded_lookup_a2a(ctx, capacity=4)
+    out, overflow = f(table_dev, ids_dev)
+    out = np.asarray(out)
+    assert int(overflow) == 8  # 4 of 8 local ids overflow, x2 replicas
+    for lo in (0, 8):  # each data replica's local batch
+        np.testing.assert_allclose(out[lo : lo + 4],
+                                   table[ids[lo : lo + 4]], rtol=1e-6)
+        np.testing.assert_array_equal(out[lo + 4 : lo + 8],
+                                      np.zeros((4, table.shape[1])))
+
+
 def test_a2a_backward(setup):
     ctx, table, ids, table_dev, ids_dev = setup
     f = make_sharded_lookup_a2a(ctx, capacity=8)
