@@ -34,7 +34,13 @@ def check_readme() -> list:
     """-> list of failure strings (empty = clean)."""
     with open(os.path.join(ROOT, "README.md")) as f:
         readme = f.read()
-    with open(os.path.join(ROOT, "BENCH_r03.json")) as f:
+    import glob
+
+    # pin README's headline to the LATEST driver-recorded bench
+    # artifact (BENCH_r{N}.json) — a same-session live run is not a
+    # committed artifact and must not be quoted ahead of it
+    bench_path = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))[-1]
+    with open(bench_path) as f:
         bench = json.load(f)
 
     kernels = _load("kernels_tpu.json")
