@@ -106,6 +106,12 @@ def main() -> int:
                          "process re-loads the catalog onto the chip — "
                          "skip when HBM cannot hold two copies)")
     ap.add_argument("--skip_int8", action="store_true")
+    ap.add_argument("--int8_only", action="store_true",
+                    help="run ONLY the int8 leg (own process): at 8M "
+                         "items the f32 service's normalized catalog "
+                         "(4 GB) plus the int8 variant exceed one "
+                         "chip's HBM in a single process — measured "
+                         "RESOURCE_EXHAUSTED; rows merge per scale")
     args = ap.parse_args()
 
     import logging
@@ -124,14 +130,30 @@ def main() -> int:
         "reference_claims": {"p95_ms": 50, "qps": 1000},
     }
 
-    _phase("load service (device backend)")
-    service = RecommendationService(bundle_dir, backend="device").load()
     user_ids = np.arange(1, min(args.users, 4096) + 1)
-    for u in user_ids[:8]:
-        service.recommend(int(u), args.k)  # jit warm (approx path >1M)
     import jax
 
     rows["platform"] = jax.devices()[0].platform
+    if args.int8_only:
+        rows.pop("reference_claims", None)  # keep the f32 run's copy
+        _phase("int8 catalog variant (own process)")
+        svc8 = RecommendationService(
+            bundle_dir, backend="device", int8_catalog=True).load()
+        for u in user_ids[:8]:
+            svc8.recommend(int(u), args.k)
+        from recsys_tpu.serve.batcher import MicroBatcher
+
+        with MicroBatcher(svc8, max_batch=256) as mb8:
+            rows["http_microbatch_int8"] = bench_http(
+                svc8, user_ids, args.requests, args.clients, args.k,
+                batcher=mb8)
+        _write(args.items, rows)
+        return 0
+
+    _phase("load service (device backend)")
+    service = RecommendationService(bundle_dir, backend="device").load()
+    for u in user_ids[:8]:
+        service.recommend(int(u), args.k)  # jit warm (approx path >1M)
     rows["resolved_backend"] = service._resolved_backend()
     rows["approx_active"] = bool(
         service.approx_search_threshold
@@ -190,20 +212,24 @@ def main() -> int:
             bundle_dir, max(args.requests * 4, 8000), args.k, workers=1,
             client_procs=2, client_threads=8, server="asyncio")
 
+    _write(args.items, rows)
+    return 0
+
+
+def _write(items: int, rows: dict) -> None:
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
     existing = {}
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             existing = json.load(f)
     # merge per scale so partial re-runs (e.g. adding the compute-floor
-    # legs) keep previously committed rows
-    merged = existing.get(str(args.items), {})
+    # legs or the own-process int8 leg) keep previously committed rows
+    merged = existing.get(str(items), {})
     merged.update(rows)
-    existing[str(args.items)] = merged
+    existing[str(items)] = merged
     with open(RESULTS, "w") as f:
         json.dump(existing, f, indent=2)
     print(json.dumps(rows, indent=2))
-    return 0
 
 
 if __name__ == "__main__":
