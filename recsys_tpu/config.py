@@ -366,9 +366,12 @@ class MeshConfig:
     #   "psum" — explicit shard_map step: masked local gather + psum of
     #            [B, D] over the model axis (bandwidth-optimal small B),
     #   "a2a"  — explicit shard_map step: ids bucketed by owner shard
-    #            into fixed-capacity bins, exchanged with lax.all_to_all,
-    #            gathered locally, exchanged back — each id moves ONCE,
-    #            the path that scales when B >> capacity per shard
+    #            into fixed-capacity bins (sortless counting-rank as
+    #            of r5 — bucketing machinery measured at 40 µs/step
+    #            fwd at B=4096, scale.json "a2a_overhead"), exchanged
+    #            with lax.all_to_all, gathered locally, exchanged
+    #            back — each id moves ONCE, the recommended choice for
+    #            row-sharded production tables (DESIGN §3.1 crossover)
     #            (embed/table.py lookup bodies; equivalence-tested vs
     #            the replicated path in tests/test_trainer_spmd.py).
     lookup_strategy: str = "xla"
