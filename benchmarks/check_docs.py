@@ -35,15 +35,24 @@ def check_readme() -> list:
     with open(os.path.join(ROOT, "README.md")) as f:
         readme = f.read()
     import glob
-    import re as _re
 
     # pin README's headline to the bench artifact README ITSELF cites
     # (`BENCH_r{N}.json`) — so a newer driver-recorded artifact never
     # fails the guard until README is updated to quote it, and README
-    # can never quote a live run that has no committed artifact
-    cited = _re.search(r"BENCH_r(\d+)\.json", readme)
+    # can never quote a live run that has no committed artifact. The
+    # citation is read from the headline row itself (the line carrying
+    # "examples/s/chip") so an incidental mention of an older artifact
+    # elsewhere in README cannot redirect validation.
+    cited = None
+    for line in readme.splitlines():
+        m = re.search(r"BENCH_r(\d+)\.json", line)
+        if m and "examples/s/chip" in line:
+            cited = m.group(0)
+            break
+        if m and cited is None:
+            cited = m.group(0)
     if cited:
-        bench_path = os.path.join(ROOT, cited.group(0))
+        bench_path = os.path.join(ROOT, cited)
     else:  # fall back to the newest artifact
         bench_path = sorted(glob.glob(os.path.join(ROOT,
                                                    "BENCH_r*.json")))[-1]

@@ -292,11 +292,23 @@ def bench_mesh(rows: int, dim: int, batch: int, catalog: int, k: int,
         # existing top-k rows (the catalog phase's 8-virtual-device
         # all-gather starves the 2-core host's collective rendezvous
         # under contention — the top-k paths are untouched by lookup
-        # changes, so their committed rows stand)
+        # changes, so their committed rows stand) — but ONLY when this
+        # run's shape matches the section the top-k rows were measured
+        # on; otherwise inheriting them would re-label committed
+        # numbers with a configuration they never ran at
         existing = {}
         if os.path.exists(RESULTS):
             with open(RESULTS) as f:
                 existing = json.load(f).get("mesh", {})
+        compat = all(
+            existing.get(k) == base[k]
+            for k in ("table_rows", "dim", "n_devices")
+        )
+        if not compat and existing:
+            print("[mesh] --lookup_only shape differs from the "
+                  "committed section; dropping its top-k rows instead "
+                  "of mislabeling them", file=sys.stderr, flush=True)
+            existing = {}
         merged = {**existing, **base}
         merged["lookup_refreshed_standalone"] = True
         return merged

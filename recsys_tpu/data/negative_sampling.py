@@ -165,7 +165,9 @@ def mine_hard_negatives(
     -35% recall@10 (negatives_mined.json arm 2). Skipping the head is
     the standard false-negative mitigation.
 
-    -> [n_users, m] dense item ids; feed ``NegativeSampler.set_mined``.
+    -> [n_users, m] dense item ids (clamped, with a warning, to the
+    widest non-empty rank window a smaller catalog allows); feed
+    ``NegativeSampler.set_mined``.
     """
     import jax
     import jax.numpy as jnp
@@ -181,7 +183,20 @@ def mine_hard_negatives(
     item_embs = materialize_item_embeddings(tower_params, model_cfg, n_items)
     bias = jnp.asarray(np.asarray(tower_params["item_bias"])[:n_items])
 
-    k_mine = min(skip_top + m, n_items)
+    # tiny-catalog clamp: keep a non-empty pool ending inside the
+    # catalog (skip as much of the head as fits, then as many columns
+    # as remain — a catalog smaller than skip_top+m yields a shallower
+    # pool, loudly)
+    eff_skip = max(0, min(skip_top, n_items - m))
+    k_mine = min(eff_skip + m, n_items)
+    if eff_skip != skip_top or k_mine - eff_skip != m:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mine_hard_negatives: catalog of %d items clamps the "
+            "requested ranks [%d, %d) to [%d, %d)",
+            n_items, skip_top, skip_top + m, eff_skip, k_mine)
+    skip_top = eff_skip
 
     @jax.jit
     def _mine_chunk(uids, mask):

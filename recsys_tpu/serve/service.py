@@ -256,12 +256,14 @@ class _FastRerank:
             p = np.clip(p, -self.clip_std, self.clip_std)
         return p.astype(np.float32)
 
-    def logits(self, uids: np.ndarray,
-               cands: np.ndarray) -> tuple:
+    def logits(self, uids: np.ndarray, cands: np.ndarray,
+               need_rating: bool = True) -> tuple:
         """uids [Q], cands [Q, C] -> (ctr_logits, rating_preds), each
         [Q, C], from ONE shared trunk pass (pair columns, cross scalar
         recurrence, deep MLP) — the second head adds only gathers and
-        one [Q*C] x [H] matvec."""
+        one [Q*C] x [H] matvec, and is skipped entirely
+        (rating_preds=None) when ``need_rating`` is False (ctr-only
+        deployments shouldn't pay for a discarded head)."""
         q, c = cands.shape
         flat = cands.reshape(-1)
         urep = np.repeat(np.asarray(uids), c)
@@ -290,16 +292,19 @@ class _FastRerank:
                 h = np.maximum(h @ w + b, 0.0)
 
         outs = []
-        for hd in self.heads:
+        heads = self.heads if need_rating else self.heads[:1]
+        for hd in heads:
             logit = alpha * dot_x0(hd["cross_dots"]) + hd["beta_dot"]
             if h is not None:
                 logit = logit + h @ hd["deep"]
             outs.append((logit + hd["b"]).reshape(q, c))
+        if not need_rating:
+            outs.append(None)
         return tuple(outs)
 
     def ctr_logits(self, uids: np.ndarray, cands: np.ndarray) -> np.ndarray:
         """uids [Q], cands [Q, C] -> CTR logits [Q, C]."""
-        return self.logits(uids, cands)[0]
+        return self.logits(uids, cands, need_rating=False)[0]
 
 
 class RecommendationService:
@@ -567,7 +572,7 @@ class RecommendationService:
                 and self._resolved_backend() != "device"):
             # precomputed host path: gathers + one small matmul
             ctr, rating = self._fast_rerank.logits(
-                np.asarray(dense_uids), idx)
+                np.asarray(dense_uids), idx, need_rating=bool(w_r))
         else:
             flat_u = np.repeat(np.asarray(dense_uids), c)
             flat_i = idx.reshape(-1)

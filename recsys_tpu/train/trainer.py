@@ -1027,6 +1027,22 @@ class Trainer:
                 # the caller (trainer.mined_table) or mined here from a
                 # previously-trained bundle (data.mined_from — the
                 # two-phase recipe scripts/train.py --mined_from wires)
+                if cfg.model.explicit_negatives_weight > 0.25:
+                    # the measured regime map (negatives_mined.json):
+                    # mined negatives at full weight LOSE 25-35%
+                    # recall@10 (false-negative pressure); the only
+                    # arm that didn't lose ran at 0.1x
+                    logger.warning(
+                        "negative_sampling='mined' with "
+                        "explicit_negatives_weight=%.2f: the committed "
+                        "ablation (benchmarks/results/negatives_mined."
+                        "json) measured -25%% recall@10 at weight 1.0 "
+                        "even with mined_skip_top=%d; the only "
+                        "non-losing arm used weight 0.1 — set "
+                        "model.explicit_negatives_weight=0.1",
+                        cfg.model.explicit_negatives_weight,
+                        cfg.data.mined_skip_top,
+                    )
                 table = getattr(self, "mined_table", None)
                 if table is None and cfg.data.mined_from:
                     from recsys_tpu.data.negative_sampling import (

@@ -190,6 +190,18 @@ def test_mined_negative_sampler(tiny_bundle):
                                   m=7, batch=32, skip_top=3)
     np.testing.assert_array_equal(skipped, deep[:, 3:10])
 
+    # tiny-catalog clamp (review r5): a catalog smaller than
+    # skip_top + m must yield the widest non-empty window (with a
+    # warning), never a negative/zero-width table that crashes the
+    # sampler downstream
+    clamped = mine_hard_negatives(params["towers"], cfg, tiny_bundle,
+                                  m=n_items + 5, batch=32,
+                                  skip_top=n_items + 3)
+    assert clamped.shape == (n_users, n_items)
+    s2 = NegativeSampler("mined", num_hard=3, num_random=4, seed=0).fit(
+        train_u, train_i, n_items).set_mined(clamped)
+    assert s2.sample_batch(uids).shape == (16, s2.n_negatives())
+
 
 def test_mined_trainer_end_to_end(tiny_bundle, tmp_path):
     """negative_sampling="mined" trains through the explicit-negatives
