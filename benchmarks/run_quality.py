@@ -116,6 +116,10 @@ def two_stage_eval(trainer, cfg, bundle) -> dict:
 
     from recsys_tpu.retrieval.evaluator import two_stage_evaluate
 
+    # known cost (review r5, accepted): the two rows re-run candidate
+    # generation (~35 s) although only the rerank weights differ — the
+    # evaluator doesn't expose a retrieve-once/rerank-twice split, and
+    # an eval-only 2x isn't worth widening its API for
     params = jax.device_get(trainer.final_state.params)
     eng = getattr(trainer, "_feature_engineer", None)
     out = two_stage_evaluate(
